@@ -1,0 +1,574 @@
+"""The AO-ADMM solver: outer alternating-optimization sweep + fit driver.
+
+TPU-native equivalent of functions/cmtf_fun_AOADMM.m (outer loop :87-476) and
+functions/cmtf_AOADMM.m (driver).  The whole outer loop runs as ONE jitted
+lax.while_loop per (problem spec, options): problem structure — models,
+coupling ids/types, constraint kinds, losses — is resolved at trace time, so
+the compiled program is straight-line batched linear algebra (MTTKRP einsums,
+batched Cholesky/SVD) with two nested lax.while_loops (outer AO + inner ADMM).
+
+The `iter_start_PAR2Bkconstraint` knob (cmtf_fun_AOADMM.m:7-9, script 9)
+changes program structure at a known iteration, so the fit is split into (at
+most) two jitted phases with the Bk-constraint statically off/on.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from matlab_code_tpu.problem import (
+    ProblemSpec, ProblemData, CP, PAR2, check_data_input, has_missing)
+from matlab_code_tpu.state import SolverState, tuple_set
+from matlab_code_tpu.options import AlgOptions
+from matlab_code_tpu.ops import losses
+from matlab_code_tpu.ops.prox import make_prox
+from matlab_code_tpu.ops.tensor import gram, ktensor_full
+from matlab_code_tpu.ops.linalg import (
+    chol_lower, solve_with_chol, solve_spd_left, rsolve, block_diag)
+from matlab_code_tpu.models.updates import (
+    ModePre, cp_mode_precompute, par2A_precompute, par2B_precompute,
+    par2C_precompute, refresh_gram, par2_gram_Bk, nonfrob_rho,
+    refresh_colnorm_init, refresh_colnorm_update)
+from matlab_code_tpu.models.admm import (
+    admm_constrained_only, admm_b_parafac2, admm_coupled)
+from matlab_code_tpu.models.objective import func_eval, par2_model_slices
+from matlab_code_tpu.models.lbfgs_bridge import make_lbfgs_step
+
+
+# ---------------------------------------------------------------------------
+# trace-time builders
+# ---------------------------------------------------------------------------
+
+
+def build_proxes(spec: ProblemSpec):
+    prox_fns = [None] * spec.nb_modes
+    reg_fns = [None] * spec.nb_modes
+    for m in range(spec.nb_modes):
+        if spec.is_constrained(m):
+            sz = spec.mode_sizes[m]
+            if isinstance(sz, (tuple, list)):
+                sz = sz[0]  # Bk mode: reference uses sz{m}(1) (constraints_to_prox.m:70)
+            prox_fns[m], reg_fns[m] = make_prox(spec.constraints[m], sz)
+    return tuple(prox_fns), tuple(reg_fns)
+
+
+def init_cache(spec: ProblemSpec, state: SolverState):
+    """Initial Grams / column norms (cmtf_fun_AOADMM.m:62-81)."""
+    grams = []
+    colnorms = []
+    for m in range(spec.nb_modes):
+        p = spec.which_p(m)
+        ds = spec.datasets[p]
+        role = spec.mode_role(m)
+        if ds.loss == "Frobenius" and role in ("cp", "par2_A"):
+            grams.append(gram(state.fac[m]))
+            colnorms.append(0.0)
+        elif ds.loss == "Frobenius" and role == "par2_B":
+            grams.append(par2_gram_Bk(state.fac[m]))
+            colnorms.append(0.0)
+        elif ds.loss != "Frobenius":
+            grams.append(None)
+            colnorms.append(refresh_colnorm_init(state, m))
+        else:  # par2_C: never consumed as a gram
+            grams.append(None)
+            colnorms.append(0.0)
+    dt = state.fac[0].dtype
+    return tuple(grams), jnp.asarray(
+        [jnp.asarray(c, dt) for c in colnorms])
+
+
+def compute_znorm_consts(spec: ProblemSpec, data: ProblemData,
+                         options: AlgOptions):
+    """Per-dataset data constants (cmtf_AOADMM.m:124-189)."""
+    out = []
+    for p, ds in enumerate(spec.datasets):
+        X = data.objects[p]
+        msk = data.miss[p]
+        if ds.model == PAR2:
+            Xs = jnp.where(msk, X.slices, 0.0) if msk is not None else X.slices
+            out.append(jnp.sum(Xs * Xs))
+        else:
+            out.append(losses.znorm_const(ds.loss, X, options.eps_log,
+                                          ds.loss_param, msk))
+    return tuple(out)
+
+
+# ---------------------------------------------------------------------------
+# the outer sweep (one AO iteration)
+# ---------------------------------------------------------------------------
+
+
+def make_outer_step(spec: ProblemSpec, options: AlgOptions, proxes, reg_fns,
+                    bk_constraint_active: bool):
+    lbfgs_steps = {}
+    for p, ds in enumerate(spec.datasets):
+        if ds.loss != "Frobenius":
+            for m in ds.modes:
+                lbfgs_steps[m] = make_lbfgs_step(spec, p, m, options)
+
+    def outer_step(state, data, grams, colnorms):
+        """Returns (state, grams, colnorms, cached, inner_its, lbfgs_its)."""
+        inner_its: dict[int, Any] = {}
+        lbfgs_its: dict[int, Any] = {}
+        cached: dict[int, Any] = {}
+
+        for cid in spec.coupling_ids():
+            cmodes = spec.coupled_modes_of(cid)
+            pres: dict[int, ModePre] = {}
+            bmasks: dict[int, Any] = {}
+            for p in sorted({spec.which_p(m) for m in cmodes}):
+                ds = spec.datasets[p]
+                p_modes = [m for m in cmodes if spec.which_p(m) == p]
+                frob = ds.loss == "Frobenius"
+                for m in p_modes:
+                    role = spec.mode_role(m)
+                    constrained = spec.is_constrained(m)
+                    R = ds.rank
+                    if role == "cp":
+                        if frob:
+                            pre = cp_mode_precompute(spec, data, state, grams,
+                                                     p, m, options)
+                            cached[p] = (pre.last_mttkrp, pre.last_had,
+                                         ds.modes.index(m))
+                        else:
+                            pre = ModePre(None, None, nonfrob_rho(colnorms, m),
+                                          None, None)
+                        if cid == 0:
+                            if not constrained:
+                                if frob:
+                                    fac = rsolve(pre.A, pre.B)
+                                    state = state.replace(
+                                        fac=tuple_set(state.fac, m, fac))
+                                else:
+                                    state, nit = lbfgs_steps[m](
+                                        state, data, False, -1, pre.rho)
+                                    lbfgs_its[m] = nit
+                                inner_its[m] = jnp.int32(1)
+                            else:
+                                if frob:
+                                    eye = jnp.eye(R, dtype=pre.A.dtype)
+                                    L = chol_lower(pre.B + 0.5 * pre.rho * eye)
+                                else:
+                                    L = None
+                                state, nin, lb = admm_constrained_only(
+                                    spec, state, m, p, pre.A, L, pre.rho,
+                                    options, proxes,
+                                    lbfgs_steps.get(m), data)
+                                inner_its[m] = nin
+                                if not frob:
+                                    lbfgs_its[m] = lb
+                            if frob:
+                                grams = refresh_gram(spec, state, grams, m)
+                            else:
+                                colnorms = colnorms.at[m].set(
+                                    refresh_colnorm_update(state, m))
+                        else:
+                            pres[m] = pre
+                    elif role == "par2_A":
+                        pre = par2A_precompute(spec, data, state, grams, p, m,
+                                               options)
+                        cached[p] = (pre.last_mttkrp, pre.last_had, 0)
+                        if cid == 0:
+                            if not constrained:
+                                fac = rsolve(pre.A, pre.B)
+                                state = state.replace(
+                                    fac=tuple_set(state.fac, m, fac))
+                                inner_its[m] = jnp.int32(1)
+                            else:
+                                eye = jnp.eye(R, dtype=pre.A.dtype)
+                                L = chol_lower(pre.B + 0.5 * pre.rho * eye)
+                                state, nin, _ = admm_constrained_only(
+                                    spec, state, m, p, pre.A, L, pre.rho,
+                                    options, proxes)
+                                inner_its[m] = nin
+                        else:
+                            pres[m] = pre
+                        # gram refreshed unconditionally (cmtf_fun_AOADMM.m:190)
+                        grams = refresh_gram(spec, state, grams, m)
+                    elif role == "par2_B":
+                        active = constrained and bk_constraint_active
+                        A, L, rho = par2B_precompute(
+                            spec, data, state, grams, p, m, options,
+                            constraint_active=active)
+                        cached[p] = (None, None, 1)
+                        bmask = data.objects[p].mask
+                        regular = len(set(spec.par2_slice_sizes(p))) == 1
+                        state, nin = admm_b_parafac2(
+                            spec, state, m, p, A, L, rho, options, proxes,
+                            constraint_active=active,
+                            bmask=None if regular else bmask)
+                        inner_its[m] = nin
+                        grams = refresh_gram(spec, state, grams, m)
+                    else:  # par2_C
+                        pre = par2C_precompute(spec, data, state, grams, p, m,
+                                               options)
+                        cached[p] = (None, None, 2)
+                        if cid == 0:
+                            if not constrained:
+                                fac = jnp.linalg.solve(
+                                    pre.B, pre.A[:, :, None])[:, :, 0]
+                                state = state.replace(
+                                    fac=tuple_set(state.fac, m, fac))
+                                inner_its[m] = jnp.int32(1)
+                            else:
+                                eye = jnp.eye(R, dtype=pre.A.dtype)
+                                Bk = pre.B + 0.5 * pre.rho[:, None, None] * eye
+                                L = chol_lower(Bk)
+                                state, nin, _ = admm_constrained_only(
+                                    spec, state, m, p, pre.A, L, pre.rho,
+                                    options, proxes)
+                                inner_its[m] = nin
+                        else:
+                            pres[m] = pre
+
+            if cid != 0:
+                ctype = spec.coupling.coupling_type[cid - 1]
+                As, Ls, Bs, B2s, rhos = {}, {}, {}, {}, {}
+                for m in cmodes:
+                    p = spec.which_p(m)
+                    ds = spec.datasets[p]
+                    pre = pres[m]
+                    As[m], rhos[m] = pre.A, pre.rho
+                    Ls[m] = None
+                    if ds.loss != "Frobenius":
+                        continue
+                    par2C = spec.mode_role(m) == "par2_C"
+                    constrained = spec.is_constrained(m)
+                    R = ds.rank
+                    H = data.coupl_trafo[m] if data.coupl_trafo else None
+                    dt = pre.A.dtype
+                    eye = jnp.eye(R, dtype=dt)
+                    if ctype in (1, 5):
+                        if par2C:
+                            # kron-vectorized system (cmtf_fun_AOADMM.m:283-297)
+                            K = spec.par2_K(p)
+                            rhoC = jnp.mean(pre.rho)
+                            Bk = pre.B + 0.0
+                            HcI = jnp.kron(H, eye)
+                            B2 = block_diag(Bk) + 0.5 * rhoC * (HcI.T @ HcI)
+                            if constrained:
+                                B2 = B2 + 0.5 * rhoC * jnp.eye(K * R, dtype=dt)
+                            Ls[m] = chol_lower(B2)
+                        else:
+                            B2 = 0.5 * pre.rho * (H.T @ H)
+                            if constrained:
+                                B2 = B2 + 0.5 * pre.rho * jnp.eye(
+                                    H.shape[1], dtype=dt)
+                            Bs[m], B2s[m] = pre.B, B2
+                    elif ctype == 2:
+                        HHt = H @ H.T
+                        if par2C:
+                            B = pre.B + 0.5 * pre.rho[:, None, None] * HHt
+                            if constrained:
+                                B = B + 0.5 * pre.rho[:, None, None] * eye
+                        else:
+                            B = pre.B + 0.5 * pre.rho * HHt
+                            if constrained:
+                                B = B + 0.5 * pre.rho * eye
+                        Ls[m] = chol_lower(B)
+                    else:  # 0, 3, 4
+                        if par2C:
+                            B = pre.B + 0.5 * pre.rho[:, None, None] * eye
+                            if constrained:
+                                B = B + 0.5 * pre.rho[:, None, None] * eye
+                        else:
+                            B = pre.B + 0.5 * pre.rho * eye
+                            if constrained:
+                                B = B + 0.5 * pre.rho * eye
+                        Ls[m] = chol_lower(B)
+                state, nin, lb = admm_coupled(
+                    spec, state, data, cmodes, cid, ctype, As, Ls, Bs, B2s,
+                    rhos, options, proxes, lbfgs_steps)
+                for m in cmodes:
+                    inner_its[m] = nin
+                    p = spec.which_p(m)
+                    if spec.datasets[p].loss == "Frobenius":
+                        if spec.mode_role(m) != "par2_C":
+                            grams = refresh_gram(spec, state, grams, m)
+                    else:
+                        lbfgs_its[m] = lb[m]
+                        colnorms = colnorms.at[m].set(
+                            refresh_colnorm_update(state, m))
+
+        return state, grams, colnorms, cached, inner_its, lbfgs_its
+
+    return outer_step
+
+
+# ---------------------------------------------------------------------------
+# EM imputation (cmtf_fun_AOADMM.m:408-441)
+# ---------------------------------------------------------------------------
+
+
+def em_impute(spec: ProblemSpec, data: ProblemData, state: SolverState):
+    """Replace missing entries with the current model; returns
+    (data, f_rel_missing)."""
+    num = 0.0
+    den = 0.0
+    objects = list(data.objects)
+    for p, ds in enumerate(spec.datasets):
+        msk = data.miss[p]
+        if msk is None:
+            continue
+        if ds.model == CP:
+            M = ktensor_full([state.fac[j] for j in ds.modes])
+            X = objects[p]
+            d = jnp.where(msk, 0.0, M - X)
+            num = num + jnp.sum(d * d)
+            den = den + jnp.sum(jnp.where(msk, 0.0, X) ** 2)
+            objects[p] = jnp.where(msk, X, M)
+        else:
+            Mk = par2_model_slices(spec, state, p)
+            X = objects[p]
+            d = jnp.where(msk, 0.0, Mk - X.slices)
+            num = num + jnp.sum(d * d)
+            den = den + jnp.sum(jnp.where(msk, 0.0, X.slices) ** 2)
+            new_slices = jnp.where(msk, X.slices, Mk)
+            objects[p] = type(X)(slices=new_slices, mask=X.mask)
+    frm = jnp.where(den > 0, jnp.sqrt(num / jnp.maximum(den, 1e-300)),
+                    jnp.sqrt(num))
+    import dataclasses
+    return dataclasses.replace(data, objects=tuple(objects)), frm
+
+
+# ---------------------------------------------------------------------------
+# stopping (functions/evaluate_stopping_conditions.m)
+# ---------------------------------------------------------------------------
+
+
+def stopping(f4, f4_old, options: AlgOptions):
+    def stream_stop(f, f_old):
+        rel = jnp.where(f_old > 0, jnp.abs(f_old - f) / jnp.where(
+            f_old > 0, f_old, 1.0), jnp.abs(f_old - f))
+        return (f < options.AbsFuncTol) | (rel < options.OuterRelTol)
+
+    s = stream_stop(f4[0], f4_old[0])
+    for i in range(1, 4):
+        s = s & stream_stop(f4[i], f4_old[i])
+    return s
+
+
+# ---------------------------------------------------------------------------
+# phase runner (jitted)
+# ---------------------------------------------------------------------------
+
+
+_RUNNER_CACHE: dict = {}
+
+
+def _get_phase_runner(spec: ProblemSpec, options: AlgOptions,
+                      bk_active: bool, last_it: int, miss_flag: bool):
+    key = (spec, options, bk_active, last_it, miss_flag)
+    if key in _RUNNER_CACHE:
+        return _RUNNER_CACHE[key]
+    proxes, reg_fns = build_proxes(spec)
+    outer_step = make_outer_step(spec, options, proxes, reg_fns, bk_active)
+    nb_modes = spec.nb_modes
+
+    def run(state, data, znorms, hist, f4, frm, it0):
+        grams, colnorms = init_cache(spec, state)
+
+        def cond(c):
+            state, data, grams, colnorms, f4, frm, hist, it, stop = c
+            return (it <= last_it) & (~stop)
+
+        def body(c):
+            state, data, grams, colnorms, f4, frm, hist, it, stop = c
+            state, grams, colnorms, cached, inner_its, lbfgs_its = outer_step(
+                state, data, grams, colnorms)
+            if miss_flag:
+                data, frm = em_impute(spec, data, state)
+            f4_new = func_eval(spec, data, state, grams, znorms, reg_fns,
+                               cached=cached, options=options)
+            stop_new = stopping(f4_new, f4, options)
+            if miss_flag:
+                stop_new = stop_new & (frm < options.OuterRelTol)
+            # guard against non-finite streams (ill-conditioned systems)
+            bad = ~jnp.isfinite(sum(f4_new))
+            stop_new = stop_new | bad
+            hist = dict(hist)
+            hist["f_tensors"] = hist["f_tensors"].at[it].set(f4_new[0])
+            hist["f_couplings"] = hist["f_couplings"].at[it].set(f4_new[1])
+            hist["f_constraints"] = hist["f_constraints"].at[it].set(f4_new[2])
+            hist["f_par2"] = hist["f_par2"].at[it].set(f4_new[3])
+            if miss_flag:
+                hist["f_rel_missing"] = hist["f_rel_missing"].at[it].set(frm)
+            inner_col = jnp.zeros((nb_modes,), jnp.int32)
+            for m, v in inner_its.items():
+                inner_col = inner_col.at[m].set(v)
+            hist["inner_iters"] = hist["inner_iters"].at[:, it].set(inner_col)
+            if options.Display == "iter":
+                f_total = sum(f4_new)
+
+                def _print(args):
+                    jax.debug.print(
+                        "{:6d} {:12.8f} {:12.8f} {:12.8f} {:12.8f} {:12.8f}",
+                        args[0], args[1], args[2], args[3], args[4], args[5])
+                    return 0
+
+                lax.cond(jnp.mod(it, options.DisplayIters) == 0,
+                         _print, lambda a: 0,
+                         (it, f_total, f4_new[0], f4_new[1], f4_new[2],
+                          f4_new[3]))
+            return (state, data, grams, colnorms, f4_new, frm, hist, it + 1,
+                    stop_new)
+
+        carry = (state, data, grams, colnorms, f4, frm, hist, it0,
+                 jnp.bool_(False))
+        state, data, grams, colnorms, f4, frm, hist, it, stop = \
+            lax.while_loop(cond, body, carry)
+        return state, data, f4, frm, hist, it, stop
+
+    fn = jax.jit(run)
+    _RUNNER_CACHE[key] = fn
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# fit driver
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class FitOutput:
+    """The reference's `out` struct (cmtf_fun_AOADMM.m:480-494)."""
+    f_tensors: float
+    f_couplings: float
+    f_constraints: float
+    f_PAR2_couplings: float
+    f_rel_missing: float
+    exit_flag: Any
+    OuterIterations: int
+    func_val_conv: np.ndarray
+    func_coupl_conv: np.ndarray
+    func_constr_conv: np.ndarray
+    func_PAR2_coupl: np.ndarray
+    func_rel_missing: np.ndarray | None
+    innerIters: np.ndarray
+    time_total: float
+    time_at_it: np.ndarray | None = None
+
+
+def _has_bk_constraint(spec: ProblemSpec) -> bool:
+    for p, ds in enumerate(spec.datasets):
+        if ds.model == PAR2 and spec.is_constrained(ds.modes[1]):
+            return True
+    return False
+
+
+def fit(spec: ProblemSpec, data: ProblemData, state: SolverState,
+        options: AlgOptions, validate: bool = True):
+    """Run AO-ADMM to convergence.  Returns (state, FitOutput)."""
+    if validate:
+        check_data_input(spec, data)
+    miss_flag = has_missing(data)
+    znorms = compute_znorm_consts(spec, data, options)
+    dt = np.asarray(state.fac[0]).dtype
+    T = options.MaxOuterIters
+
+    proxes, reg_fns = build_proxes(spec)
+    grams0, _ = init_cache(spec, state)
+    f4 = func_eval(spec, data, state, grams0, znorms, reg_fns, cached=None,
+                   options=options)
+    f4 = tuple(jnp.asarray(v, dt) for v in f4)
+    frm = jnp.asarray(np.nan, dt)
+
+    hist = {
+        "f_tensors": jnp.zeros((T + 1,), dt).at[0].set(f4[0]),
+        "f_couplings": jnp.zeros((T + 1,), dt).at[0].set(f4[1]),
+        "f_constraints": jnp.zeros((T + 1,), dt).at[0].set(f4[2]),
+        "f_par2": jnp.zeros((T + 1,), dt).at[0].set(f4[3]),
+        "inner_iters": jnp.zeros((spec.nb_modes, T + 1), jnp.int32),
+    }
+    if miss_flag:
+        hist["f_rel_missing"] = jnp.full((T + 1,), np.nan, dt)
+
+    start = options.iter_start_PAR2Bkconstraint
+    if _has_bk_constraint(spec) and start > 1:
+        phases = [(min(start - 1, T), False), (T, True)]
+    else:
+        phases = [(T, True)]
+
+    t0 = time.perf_counter()
+    it = jnp.int32(1)
+    stop = False
+    for last_it, active in phases:
+        if stop or int(it) > last_it:
+            continue
+        runner = _get_phase_runner(spec, options, active, last_it, miss_flag)
+        state, data, f4, frm, hist, it, stop_t = runner(
+            state, data, znorms, hist, f4, frm, it)
+        stop = bool(stop_t)
+    jax.block_until_ready(state.fac[0])
+    t_total = time.perf_counter() - t0
+
+    n_iter = int(it) - 1
+    f4 = tuple(float(v) for v in f4)
+    if n_iter >= T and not stop:
+        exit_flag = "maxIterations"
+    elif not all(np.isfinite(f4)):
+        exit_flag = "illconditioned lin system"
+    else:
+        names = ("f_tensors", "f_couplings", "f_constraints",
+                 "f_PAR2_couplings")
+        exit_flag = {n: ("AbsFuncTol" if v < options.AbsFuncTol
+                         else "RelFuncTol") for n, v in zip(names, f4)}
+
+    out = FitOutput(
+        f_tensors=f4[0], f_couplings=f4[1], f_constraints=f4[2],
+        f_PAR2_couplings=f4[3],
+        f_rel_missing=float(frm) if miss_flag else float("nan"),
+        exit_flag=exit_flag, OuterIterations=n_iter,
+        func_val_conv=np.asarray(hist["f_tensors"][:n_iter + 1]),
+        func_coupl_conv=np.asarray(hist["f_couplings"][:n_iter + 1]),
+        func_constr_conv=np.asarray(hist["f_constraints"][:n_iter + 1]),
+        func_PAR2_coupl=np.asarray(hist["f_par2"][:n_iter + 1]),
+        func_rel_missing=(np.asarray(hist["f_rel_missing"][:n_iter + 1])
+                          if miss_flag else None),
+        innerIters=np.asarray(hist["inner_iters"][:, :n_iter + 1]),
+        time_total=t_total)
+
+    if options.Display in ("iter", "final"):
+        print(f"{n_iter:6d} {sum(f4):12.8f} {f4[0]:12.8f} {f4[1]:12.8f} "
+              f"{f4[2]:12.8f} {f4[3]:12.8f}")
+    return state, out
+
+
+def cmtf_aoadmm(spec: ProblemSpec, data: ProblemData, options: AlgOptions,
+                init: SolverState | None = None, init_options=None,
+                key=None, validate: bool = True):
+    """High-level driver (functions/cmtf_AOADMM.m): initializes if needed,
+    fits, and assembles per-dataset factor estimates.
+
+    Returns (Zhat, state, init_state, out) where Zhat[p] is
+      {'weights': None, 'factors': [...]}           for CP datasets,
+      {'A': ..., 'Bk': [...], 'C': ...}             for PAR2 datasets.
+    """
+    from matlab_code_tpu.models.init import init_coupled
+    if init is None:
+        if init_options is None:
+            raise ValueError("init_options are missing in cmtf_aoadmm")
+        init = init_coupled(spec, data, init_options, key=key)
+    state0 = init
+    state, out = fit(spec, data, state0, options, validate=validate)
+
+    zhat = []
+    for p, ds in enumerate(spec.datasets):
+        if ds.model == CP:
+            zhat.append({"weights": None,
+                         "factors": [np.asarray(state.fac[j])
+                                     for j in ds.modes]})
+        else:
+            sizes = spec.par2_slice_sizes(p)
+            Bk = [np.asarray(state.fac[ds.modes[1]][k, :j, :])
+                  for k, j in enumerate(sizes)]
+            zhat.append({"A": np.asarray(state.fac[ds.modes[0]]),
+                         "Bk": Bk,
+                         "C": np.asarray(state.fac[ds.modes[2]])})
+    return zhat, state, state0, out

@@ -1,0 +1,178 @@
+"""Per-mode precompute for the AO sweep: MTTKRPs, Gram-Hadamards, the rho
+heuristic, and the (regularized) normal-equation matrices.
+
+TPU-native equivalents of cmtf_fun_AOADMM.m:92-251.  The PARAFAC2 per-slice
+loops are replaced by batched einsums over the stacked (K, ., .) arrays, so
+every slice's matmul runs as one batched MXU contraction; padded (ragged)
+rows/columns are zero and drop out of all sums.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from matlab_code_tpu.ops.tensor import mttkrp, gram, hadamard_grams
+from matlab_code_tpu.ops.linalg import chol_lower
+from matlab_code_tpu.problem import ProblemSpec, ProblemData, CP, PAR2
+
+
+class ModePre(NamedTuple):
+    """Precomputed quantities for one mode's update."""
+    A: jnp.ndarray | None        # RHS (I,R) | (K,Jmax,R) Bk | (K,R) par2C
+    B: jnp.ndarray | None        # normal matrix before coupling/constraint terms
+    rho: jnp.ndarray | None      # scalar, or (K,) for par2 B/C modes
+    last_mttkrp: jnp.ndarray | None
+    last_had: jnp.ndarray | None
+
+
+def _ridge_eye(spec: ProblemSpec, m: int, R: int, dtype) -> jnp.ndarray | None:
+    if spec.ridge is not None and spec.ridge[m]:
+        return spec.ridge[m] * jnp.eye(R, dtype=dtype)
+    return None
+
+
+def cp_mode_precompute(spec: ProblemSpec, data: ProblemData, state, grams,
+                       p: int, m: int, options) -> ModePre:
+    """CP / matrix mode precompute (cmtf_fun_AOADMM.m:96-127)."""
+    ds = spec.datasets[p]
+    X = data.objects[p]
+    w = ds.weight
+    R = ds.rank
+    local = ds.modes.index(m)
+    if X.ndim >= 3:
+        A = w * mttkrp(X, [state.fac[j] for j in ds.modes], local)
+        C = hadamard_grams([grams[j] for j in ds.modes if j != m])
+    else:
+        other = ds.modes[1 - local]
+        if local == 0:
+            A = w * (X @ state.fac[other])
+        else:
+            A = w * (X.T @ state.fac[other])
+        C = grams[other]
+    rho = jnp.trace(C) / R
+    B = w * C
+    last_mttkrp = A / w
+    last_had = C
+    re = _ridge_eye(spec, m, R, A.dtype)
+    if re is not None:
+        B = B + re
+    if options.bsum:
+        A = A + options.bsum_weight / 2.0 * state.fac[m]
+        B = B + options.bsum_weight / 2.0 * jnp.eye(R, dtype=A.dtype)
+    return ModePre(A=A, B=B, rho=rho, last_mttkrp=last_mttkrp, last_had=last_had)
+
+
+def par2_gram_Bk(facB: jnp.ndarray) -> jnp.ndarray:
+    """(K, Jmax, R) -> per-slice Grams (K, R, R)."""
+    return jnp.einsum("kjr,kjs->krs", facB, facB, optimize=True)
+
+
+def par2A_precompute(spec: ProblemSpec, data: ProblemData, state, grams,
+                     p: int, m: int, options) -> ModePre:
+    """First PARAFAC2 mode: A = sum_k X_k B_k diag(c_k),
+    C = sum_k diag(c_k) B_k^T B_k diag(c_k)  (cmtf_fun_AOADMM.m:159-178)."""
+    ds = spec.datasets[p]
+    X = data.objects[p]            # Parafac2Tensor
+    mB, mC = ds.modes[1], ds.modes[2]
+    w = ds.weight
+    R = ds.rank
+    facB, facC = state.fac[mB], state.fac[mC]
+    A0 = jnp.einsum("kij,kjr,kr->ir", X.slices, facB, facC, optimize=True)
+    C = jnp.einsum("kr,krs,ks->rs", facC, grams[mB], facC, optimize=True)
+    last_mttkrp, last_had = A0, C
+    A = w * A0
+    rho = jnp.trace(C) / R
+    B = w * C
+    re = _ridge_eye(spec, m, R, A.dtype)
+    if re is not None:
+        B = B + re
+    if options.bsum:
+        A = A + options.bsum_weight / 2.0 * state.fac[m]
+        B = B + options.bsum_weight / 2.0 * jnp.eye(R, dtype=A.dtype)
+    return ModePre(A=A, B=B, rho=rho, last_mttkrp=last_mttkrp, last_had=last_had)
+
+
+def par2B_precompute(spec: ProblemSpec, data: ProblemData, state, grams,
+                     p: int, m: int, options, constraint_active: bool):
+    """Second PARAFAC2 mode (per-slice), batched (cmtf_fun_AOADMM.m:191-213).
+
+    Returns (A (K,Jmax,R), L (K,R,R) cholesky of the fully assembled normal
+    matrix incl. the always-on internal-coupling rho_k/2 I and, when the
+    constraint is active this outer iteration, another rho_k/2 I), rho (K,).
+    """
+    ds = spec.datasets[p]
+    X = data.objects[p]
+    mA, mC = ds.modes[0], ds.modes[2]
+    w = ds.weight
+    R = ds.rank
+    facA, facC = state.fac[mA], state.fac[mC]
+    A = w * jnp.einsum("kij,ir,kr->kjr", X.slices, facA, facC, optimize=True)
+    C = jnp.einsum("kr,rs,ks->krs", facC, grams[mA], facC, optimize=True)
+    rho = jnp.trace(C, axis1=1, axis2=2) / R
+    if options.increase_factor_rhoBk is not None:
+        rho = options.increase_factor_rhoBk * rho
+    B = w * C
+    eye = jnp.eye(R, dtype=A.dtype)
+    B = B + 0.5 * rho[:, None, None] * eye          # always coupled (line 200)
+    re = _ridge_eye(spec, m, R, A.dtype)
+    if re is not None:
+        B = B + re
+    if options.bsum:
+        A = A + options.bsum_weight / 2.0 * state.fac[m]
+        B = B + options.bsum_weight / 2.0 * eye
+    if constraint_active:
+        B = B + 0.5 * rho[:, None, None] * eye      # line 209-211
+    L = chol_lower(B)
+    return A, L, rho
+
+
+def par2C_precompute(spec: ProblemSpec, data: ProblemData, state, grams,
+                     p: int, m: int, options) -> ModePre:
+    """Third PARAFAC2 mode, row-wise batched (cmtf_fun_AOADMM.m:219-233).
+
+    A: (K, R) rows w * diag(A^T X_k B_k); B: (K, R, R) = GramA .* GramB_k."""
+    ds = spec.datasets[p]
+    X = data.objects[p]
+    mA, mB = ds.modes[0], ds.modes[1]
+    w = ds.weight
+    R = ds.rank
+    facA, facB = state.fac[mA], state.fac[mB]
+    A = w * jnp.einsum("ir,kij,kjr->kr", facA, X.slices, facB, optimize=True)
+    C = grams[mA][None, :, :] * grams[mB]
+    rho = jnp.trace(C, axis1=1, axis2=2) / R
+    B = w * C
+    re = _ridge_eye(spec, m, R, A.dtype)
+    if re is not None:
+        B = B + re
+    if options.bsum:
+        A = A + options.bsum_weight / 2.0 * state.fac[m]
+        B = B + options.bsum_weight / 2.0 * jnp.eye(R, dtype=A.dtype)
+    return ModePre(A=A, B=B, rho=rho, last_mttkrp=None, last_had=None)
+
+
+def refresh_gram(spec: ProblemSpec, state, grams: tuple, m: int) -> tuple:
+    """G_transp_G refresh after a mode update (cmtf_fun_AOADMM.m:148,190,216,396)."""
+    role = spec.mode_role(m)
+    g = par2_gram_Bk(state.fac[m]) if role == "par2_B" else gram(state.fac[m])
+    return grams[:m] + (g,) + grams[m + 1:]
+
+
+def nonfrob_rho(colnorms: jnp.ndarray, m: int) -> jnp.ndarray:
+    """rho for non-Frobenius losses: sum of squared column norms over all OTHER
+    modes (cmtf_fun_AOADMM.m:129, literally including zero entries of
+    Frobenius modes)."""
+    return jnp.sum(colnorms) - colnorms[m]
+
+
+def refresh_colnorm_init(state, m: int) -> jnp.ndarray:
+    """Initial sum of squared column norms (cmtf_fun_AOADMM.m:77-80)."""
+    return jnp.sum(state.fac[m] ** 2)
+
+
+def refresh_colnorm_update(state, m: int) -> jnp.ndarray:
+    """Post-update refresh.  NOTE: the reference overwrites instead of
+    accumulating inside the r-loop (cmtf_fun_AOADMM.m:151-153,399-401), so the
+    refreshed value is the squared norm of the LAST column only.  Replicated
+    literally for trajectory parity."""
+    return jnp.sum(state.fac[m][:, -1] ** 2)

@@ -1,0 +1,100 @@
+"""Small dense linear algebra used by the ADMM updates.
+
+All systems here are R x R (R = rank, tiny) or (K*R) x (K*R); they are
+replicated across devices and solved with batched (vmap-able) kernels.
+
+Reference call sites: chol + triangular solves (cmtf_fun_AOADMM.m:142,608-609),
+sylvester (cmtf_fun_AOADMM.m:728), polar via econ-SVD (cmtf_fun_AOADMM.m:532-534),
+eigs for init (init_coupled_AOADMM_CMTF.m:60-66).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def chol_lower(B: jnp.ndarray) -> jnp.ndarray:
+    """Lower-triangular Cholesky factor of symmetric positive-definite B.
+
+    Matches L{m} = chol(B','lower') for symmetric B (cmtf_fun_AOADMM.m:142).
+    Batched over leading dims.
+    """
+    return jnp.linalg.cholesky(B)
+
+
+def solve_with_chol(L: jnp.ndarray, A: jnp.ndarray) -> jnp.ndarray:
+    """Solve X B = A for X, given B = L L^T (symmetric PD).
+
+    Replicates the reference's `(A/L')/L` forward/backward substitution
+    (cmtf_fun_AOADMM.m:609).  A: (I, R), L: (R, R) lower.  Batched over
+    leading dims of both (matching leading dims).
+    """
+    # X = A B^{-1} = (B^{-1} A^T)^T since B is symmetric.
+    y = jax.scipy.linalg.solve_triangular(L, jnp.swapaxes(A, -1, -2), lower=True)
+    x = jax.scipy.linalg.solve_triangular(
+        jnp.swapaxes(L, -1, -2), y, lower=False)
+    return jnp.swapaxes(x, -1, -2)
+
+
+def solve_spd_left(L: jnp.ndarray, A: jnp.ndarray) -> jnp.ndarray:
+    """Solve B X = A given B = L L^T.  A: (n, k)."""
+    y = jax.scipy.linalg.solve_triangular(L, A, lower=True)
+    return jax.scipy.linalg.solve_triangular(jnp.swapaxes(L, -1, -2), y, lower=False)
+
+
+def rsolve(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """MATLAB A/B (solve X B = A) for general square B."""
+    return jnp.linalg.solve(jnp.swapaxes(B, -1, -2), jnp.swapaxes(A, -1, -2)).swapaxes(-1, -2)
+
+
+def polar_orth(M: jnp.ndarray) -> jnp.ndarray:
+    """Orthonormal polar factor U V^T of M via thin SVD.
+
+    Equivalent of [U,~,V]=svd(M,'econ'); U*V' (cmtf_fun_AOADMM.m:532-534,
+    project_ortho.m:3-4).  Zero rows of M map to zero rows of the output
+    when M has full column rank, which keeps ragged-slice padding intact.
+    Batched over leading dims (vmap/jnp.linalg.svd both batch).
+    """
+    U, _, Vt = jnp.linalg.svd(M, full_matrices=False)
+    return U @ Vt
+
+
+def sylvester_sym(B2: jnp.ndarray, B: jnp.ndarray, C: jnp.ndarray) -> jnp.ndarray:
+    """Solve B2 X + X B = C where B2 (n x n) and B (R x R) are SYMMETRIC.
+
+    Equivalent of MATLAB sylvester(B2, B, C) at cmtf_fun_AOADMM.m:728 (there
+    B2 = rho/2 H^T H [+ rho/2 I] and B = w*Gram [+ ...] are both symmetric).
+    Solved spectrally: B2 = U1 S1 U1^T, B = U2 S2 U2^T =>
+    X = U1 [ (U1^T C U2) / (s1_i + s2_j) ] U2^T.
+    """
+    s1, U1 = jnp.linalg.eigh(B2)
+    s2, U2 = jnp.linalg.eigh(B)
+    Ct = U1.T @ C @ U2
+    denom = s1[:, None] + s2[None, :]
+    return U1 @ (Ct / denom) @ U2.T
+
+
+def top_eigvecs(Y: jnp.ndarray, r: int) -> jnp.ndarray:
+    """Leading-r eigenvectors (by eigenvalue) of symmetric PSD Y.
+
+    Equivalent of eigs(Y, r, 'LM') on a PSD Gram (init_coupled_AOADMM_CMTF.m:60,
+    cmtf_nvecs.m usage).  Deterministic sign convention: largest-|.| entry of
+    each vector is made positive.
+    """
+    w, V = jnp.linalg.eigh(Y)           # ascending
+    V = V[:, ::-1][:, :r]
+    idx = jnp.argmax(jnp.abs(V), axis=0)
+    signs = jnp.sign(V[idx, jnp.arange(r)])
+    signs = jnp.where(signs == 0, 1.0, signs)
+    return V * signs[None, :]
+
+
+def block_diag(mats: jnp.ndarray) -> jnp.ndarray:
+    """Block-diagonal matrix from a stacked batch (K, R, R) -> (K*R, K*R).
+
+    Equivalent of blkdiag(B{m}{:}) at cmtf_fun_AOADMM.m:286.
+    """
+    K, R, _ = mats.shape
+    eye_k = jnp.eye(K, dtype=mats.dtype)
+    # out[kR+i, lR+j] = delta_{kl} mats[k,i,j]
+    return (eye_k[:, None, :, None] * mats[:, :, None, :]).reshape(K * R, K * R)

@@ -1,0 +1,105 @@
+import numpy as np
+import jax.numpy as jnp
+
+from matlab_code_tpu.ops import linalg as LA
+
+rng = np.random.default_rng(7)
+
+
+def _spd(n):
+    A = rng.standard_normal((n, n))
+    return A @ A.T + n * np.eye(n)
+
+
+def test_solve_with_chol():
+    B = _spd(4)
+    A = rng.standard_normal((9, 4))
+    L = np.asarray(LA.chol_lower(jnp.asarray(B)))
+    got = np.asarray(LA.solve_with_chol(jnp.asarray(L), jnp.asarray(A)))
+    np.testing.assert_allclose(got, A @ np.linalg.inv(B), rtol=1e-9)
+
+
+def test_solve_with_chol_batched():
+    import jax
+    Bs = np.stack([_spd(3) for _ in range(5)])
+    As = rng.standard_normal((5, 7, 3))
+    Ls = np.asarray(LA.chol_lower(jnp.asarray(Bs)))
+    got = np.asarray(jax.vmap(LA.solve_with_chol)(jnp.asarray(Ls), jnp.asarray(As)))
+    for k in range(5):
+        np.testing.assert_allclose(got[k], As[k] @ np.linalg.inv(Bs[k]), rtol=1e-8)
+
+
+def test_sylvester_sym():
+    B2 = _spd(6)
+    B = _spd(3)
+    C = rng.standard_normal((6, 3))
+    X = np.asarray(LA.sylvester_sym(jnp.asarray(B2), jnp.asarray(B), jnp.asarray(C)))
+    np.testing.assert_allclose(B2 @ X + X @ B, C, rtol=1e-8, atol=1e-10)
+
+
+def test_polar():
+    M = rng.standard_normal((10, 3))
+    Q = np.asarray(LA.polar_orth(jnp.asarray(M)))
+    np.testing.assert_allclose(Q.T @ Q, np.eye(3), atol=1e-10)
+    # polar factor maximizes tr(Q^T M) over orthonormal Q
+    U, s, Vt = np.linalg.svd(M, full_matrices=False)
+    np.testing.assert_allclose(np.trace(Q.T @ M), s.sum(), rtol=1e-10)
+
+
+def test_polar_preserves_zero_rows():
+    M = rng.standard_normal((8, 3))
+    M[5:] = 0.0
+    Q = np.asarray(LA.polar_orth(jnp.asarray(M)))
+    np.testing.assert_allclose(Q[5:], 0.0, atol=1e-10)
+
+
+def test_top_eigvecs():
+    Y = _spd(8)
+    V = np.asarray(LA.top_eigvecs(jnp.asarray(Y), 3))
+    w, Vfull = np.linalg.eigh(Y)
+    span_want = Vfull[:, -3:]
+    # same subspace
+    proj = span_want @ span_want.T
+    np.testing.assert_allclose(proj @ V, V, atol=1e-8)
+
+
+def test_block_diag():
+    mats = rng.standard_normal((3, 2, 2))
+    got = np.asarray(LA.block_diag(jnp.asarray(mats)))
+    import scipy.linalg
+    want = scipy.linalg.block_diag(*mats)
+    np.testing.assert_allclose(got, want)
+
+
+def test_lbfgsb_quadratic_box():
+    from matlab_code_tpu.ops.lbfgsb import lbfgsb
+    import jax
+    n = 20
+    A = _spd(n)
+    b = rng.standard_normal(n)
+
+    def f(x):
+        return 0.5 * x @ (A @ x) - b @ x
+
+    vag = jax.value_and_grad(f)
+    res = lbfgsb(vag, jnp.zeros(n), 0.0, jnp.inf, m=5, maxiter=200,
+                 pgtol=1e-10, factr=10.0)
+    from scipy.optimize import minimize
+    want = minimize(lambda x: 0.5 * x @ A @ x - b @ x, np.zeros(n),
+                    jac=lambda x: A @ x - b, method="L-BFGS-B",
+                    bounds=[(0, None)] * n,
+                    options={"ftol": 1e-16, "gtol": 1e-12}).x
+    np.testing.assert_allclose(np.asarray(res.x), want, atol=1e-6)
+
+
+def test_lbfgsb_rosenbrock_box():
+    from matlab_code_tpu.ops.lbfgsb import lbfgsb
+    import jax
+
+    def f(x):
+        return jnp.sum(100.0 * (x[1:] - x[:-1] ** 2) ** 2 + (1 - x[:-1]) ** 2)
+
+    vag = jax.value_and_grad(f)
+    res = lbfgsb(vag, jnp.zeros(4), -2.0, 2.0, m=8, maxiter=500,
+                 pgtol=1e-10, factr=1.0)
+    np.testing.assert_allclose(np.asarray(res.x), np.ones(4), atol=1e-4)
