@@ -1,0 +1,173 @@
+"""PARAFAC2 fits: regular, ragged, constrained-Bk, tPARAFAC2, and
+CP+PAR2 coupling — small analogues of example scripts 1/2/4/8/9/11/14."""
+import numpy as np
+import pytest
+
+from matlab_code_tpu import (
+    ProblemSpec, DatasetSpec, CouplingSpec, ConstraintSpec, AlgOptions)
+from matlab_code_tpu.utils.score import fms, fms_par2_B
+from tests.helpers import run_problem, cp_fms
+
+
+OPTS = AlgOptions(MaxOuterIters=3000, AbsFuncTol=1e-9, OuterRelTol=1e-9)
+
+
+def _par2_fit(res, spec, p):
+    """Fit% of a PAR2 dataset from the returned factors."""
+    z = res["zhat"][p]
+    X = res["data"].objects[p]
+    num = 0.0
+    den = 0.0
+    sizes = spec.par2_slice_sizes(p)
+    for k, J in enumerate(sizes):
+        Xk = np.asarray(X.slices[k, :, :J])
+        Mk = z["A"] @ np.diag(z["C"][k]) @ z["Bk"][k].T
+        num += np.sum((Xk - Mk) ** 2)
+        den += np.sum(Xk ** 2)
+    return 100.0 * (1.0 - num / den)
+
+
+def test_regular_par2_nonneg():
+    # script-8 style: one regular PAR2, all modes nonneg
+    K, J, I = 8, 15, 10
+    spec = ProblemSpec(
+        mode_sizes=(I, (J,) * K, K),
+        datasets=(DatasetSpec(model="PAR2", modes=(0, 1, 2), rank=3),),
+        coupling=CouplingSpec(lin_coupled_modes=(0, 0, 0), coupling_type=()),
+        constraints=(ConstraintSpec("non-negativity"), None,
+                     ConstraintSpec("non-negativity")))
+    res = run_problem(spec, lambdas=[[1, 1, 1]],
+                      distr=["rand", "rand", "rand+0.1"], opts=OPTS, key=2)
+    assert res["out"].f_tensors < 1e-7
+    assert res["out"].f_PAR2_couplings < 1e-3
+    assert _par2_fit(res, spec, 0) > 99.99
+
+
+def test_cp_par2_coupled_nonneg():
+    # script-1 style: CP (0,1,2) + PAR2 (3,4,5), modes 0 & 3 exactly coupled
+    K, J = 6, 12
+    spec = ProblemSpec(
+        mode_sizes=(10, 11, 12, 10, (J,) * K, K),
+        datasets=(DatasetSpec(model="CP", modes=(0, 1, 2), rank=3, weight=0.5),
+                  DatasetSpec(model="PAR2", modes=(3, 4, 5), rank=3,
+                              weight=0.5)),
+        coupling=CouplingSpec(lin_coupled_modes=(1, 0, 0, 1, 0, 0),
+                              coupling_type=(0,)),
+        constraints=(ConstraintSpec("non-negativity"), None, None,
+                     ConstraintSpec("non-negativity"),
+                     ConstraintSpec("non-negativity"),
+                     ConstraintSpec("non-negativity")))
+    res = run_problem(
+        spec, lambdas=[[1, 1, 1], [1, 1, 1]],
+        distr=["rand", "randn", "randn", "rand", "rand", "rand+0.1"],
+        opts=OPTS, key=2)
+    assert res["out"].f_tensors < 1e-7
+    assert res["out"].f_couplings < 1e-3
+    assert _par2_fit(res, spec, 1) > 99.9
+    assert cp_fms(res, 0, spec, (0, 1, 2)) > 0.99
+    np.testing.assert_allclose(res["state"].fac[0], res["state"].fac[3],
+                               atol=1e-2)
+
+
+def test_irregular_par2():
+    # script-4 style: ragged slice sizes, nonneg C only
+    sizes = (13, 17, 11, 19, 15)
+    spec = ProblemSpec(
+        mode_sizes=(9, sizes, len(sizes)),
+        datasets=(DatasetSpec(model="PAR2", modes=(0, 1, 2), rank=3),),
+        coupling=CouplingSpec(lin_coupled_modes=(0, 0, 0), coupling_type=()),
+        constraints=(None, None, ConstraintSpec("non-negativity")))
+    res = run_problem(spec, lambdas=[[1, 1, 1]],
+                      distr=["randn", "randn", "rand+0.1"], opts=OPTS,
+                      key=2, bk_style="orth")
+    assert res["out"].f_tensors < 1e-7
+    assert _par2_fit(res, spec, 0) > 99.99
+    # padded rows of returned state stay exactly zero
+    Bk = np.asarray(res["state"].fac[1])
+    for k, J in enumerate(sizes):
+        np.testing.assert_allclose(Bk[k, J:, :], 0.0, atol=1e-12)
+    # FMS of recovered ragged Bk vs truth
+    assert fms_par2_B(res["zhat"][0]["Bk"], res["Atrue"][1]) > 0.98
+
+
+def test_par2_unimodal_bk_delayed_constraint():
+    # script-9 style: unimodality on Bk, delayed start, rho scaling
+    K, J, I = 6, 30, 8
+    spec = ProblemSpec(
+        mode_sizes=(I, (J,) * K, K),
+        datasets=(DatasetSpec(model="PAR2", modes=(0, 1, 2), rank=2),),
+        coupling=CouplingSpec(lin_coupled_modes=(0, 0, 0), coupling_type=()),
+        constraints=(None, ConstraintSpec("unimodality", (False,)),
+                     ConstraintSpec("non-negativity")))
+    opts = AlgOptions(MaxOuterIters=600, MaxInnerIters=10, AbsFuncTol=1e-9,
+                      OuterRelTol=1e-9, iter_start_PAR2Bkconstraint=30,
+                      increase_factor_rhoBk=10.0)
+    res = run_problem(spec, lambdas=[[1, 1]],
+                      distr=["randn", "rand", "rand+0.1"], opts=opts, key=2,
+                      bk_style="unimodal")
+    assert res["out"].f_tensors < 5e-2
+    # every recovered Bk column is unimodal
+    Bk = np.asarray(res["state"].constraint_fac[1])
+    for k in range(K):
+        for r in range(2):
+            col = Bk[k, :, r]
+            peak = int(np.argmax(col))
+            assert np.all(np.diff(col[:peak + 1]) >= -1e-8)
+            assert np.all(np.diff(col[peak:]) <= 1e-8)
+
+
+def test_tparafac2_smoothness():
+    # script-11 style: temporal smoothness on Bk
+    K, J, I = 8, 12, 9
+    spec = ProblemSpec(
+        mode_sizes=(I, (J,) * K, K),
+        datasets=(DatasetSpec(model="PAR2", modes=(0, 1, 2), rank=2),),
+        coupling=CouplingSpec(lin_coupled_modes=(0, 0, 0), coupling_type=()),
+        constraints=(None, ConstraintSpec("tPARAFAC2", (10.0,)),
+                     ConstraintSpec("non-negativity")))
+    res = run_problem(spec, lambdas=[[1, 1]],
+                      distr=["randn", "rand", "rand+0.1"], opts=OPTS, key=2,
+                      bk_style="smooth", normalize=True)
+    assert np.isfinite(res["out"].f_tensors)
+    tv10 = np.sum(np.diff(np.asarray(res["state"].constraint_fac[1]),
+                          axis=0) ** 2)
+
+    # weak smoothing: near-exact fit
+    spec_weak = ProblemSpec(
+        mode_sizes=spec.mode_sizes, datasets=spec.datasets,
+        coupling=spec.coupling,
+        constraints=(None, ConstraintSpec("tPARAFAC2", (1e-6,)),
+                     ConstraintSpec("non-negativity")))
+    res_w = run_problem(spec_weak, lambdas=[[1, 1]],
+                        distr=["randn", "rand", "rand+0.1"], opts=OPTS, key=2,
+                        bk_style="smooth", normalize=True)
+    assert _par2_fit(res_w, spec_weak, 0) > 99.9
+    tv_weak = np.sum(np.diff(np.asarray(res_w["state"].constraint_fac[1]),
+                             axis=0) ** 2)
+    # stronger smoothing => smaller temporal variation of the Bk's
+    assert tv10 < tv_weak
+
+
+def test_par2_C_mode_coupled_type1():
+    # script-14 style: coupling on the PAR2 C mode, type 1 (HC = Delta)
+    K1, K2 = 12, 6
+    J, I = 10, 8
+    H_cp = np.zeros((K2, K1))
+    for i in range(K2):
+        H_cp[i, 2 * i] = 1.0
+    H_c = np.eye(K2)
+    spec = ProblemSpec(
+        mode_sizes=(K1, 9, 8, I, (J,) * K2, K2),
+        datasets=(DatasetSpec(model="CP", modes=(0, 1, 2), rank=2, weight=0.5),
+                  DatasetSpec(model="PAR2", modes=(3, 4, 5), rank=2,
+                              weight=0.5)),
+        coupling=CouplingSpec(lin_coupled_modes=(1, 0, 0, 0, 0, 1),
+                              coupling_type=(1,)),
+        constraints=(None,) * 6)
+    res = run_problem(spec, lambdas=[[1, 1], [1, 1]],
+                      distr=["rand", "randn", "randn", "rand", "rand",
+                             "rand+0.1"],
+                      coupl_trafo=[H_cp, None, None, None, None, H_c],
+                      opts=OPTS, key=2)
+    assert res["out"].f_tensors < 1e-6
+    assert res["out"].f_couplings < 1e-3
