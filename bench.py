@@ -1,0 +1,194 @@
+"""Benchmark: AO-ADMM iterations/s on the flagship coupled-factorization
+workload (EEM/NMR/LCMS-class: one 3-way tensor + two matrices coupled on the
+sample mode, all nonneg, rank 16), on the real TPU chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} plus
+supporting lines.  vs_baseline is the speedup over a pure-numpy CPU
+implementation of the identical sweep on this host (the reference publishes
+no numbers, BASELINE.md).
+"""
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from matlab_code_tpu import (
+    ProblemSpec, DatasetSpec, CouplingSpec, ConstraintSpec, AlgOptions,
+    InitOptions)
+from matlab_code_tpu.models.init import init_coupled
+from matlab_code_tpu.models.solver import (
+    build_proxes, make_outer_step, init_cache)
+from matlab_code_tpu.ops.tensor import mttkrp
+
+# workload: sample mode 128, tensor 128x512x256, matrices 128x4096, 128x2048
+I, J1, J2 = 128, 512, 256
+M1, M2 = 4096, 2048
+R = 16
+N_ITERS = 30
+
+
+def build_problem():
+    spec = ProblemSpec(
+        mode_sizes=(I, J1, J2, I, M1, I, M2),
+        datasets=(
+            DatasetSpec(model="CP", modes=(0, 1, 2), rank=R, weight=1 / 3),
+            DatasetSpec(model="CP", modes=(3, 4), rank=R, weight=1 / 3),
+            DatasetSpec(model="CP", modes=(5, 6), rank=R, weight=1 / 3)),
+        coupling=CouplingSpec(lin_coupled_modes=(1, 0, 0, 1, 0, 1, 0),
+                              coupling_type=(0,)),
+        constraints=tuple(ConstraintSpec("non-negativity") for _ in range(7)))
+    rng = np.random.default_rng(0)
+    dt = jnp.result_type(float)
+    facs = [rng.uniform(size=(s, R)).astype(dt) for s in spec.mode_sizes]
+    X1 = np.einsum("ir,jr,kr->ijk", facs[0], facs[1], facs[2])
+    X2 = facs[3] @ facs[4].T
+    X3 = facs[5] @ facs[6].T
+    from matlab_code_tpu.problem import ProblemData
+    data = ProblemData(objects=(jnp.asarray(X1), jnp.asarray(X2),
+                                jnp.asarray(X3)),
+                       coupl_trafo=(None,) * 7, coupl_trafo2=(None,) * 7)
+    opts = AlgOptions(MaxOuterIters=N_ITERS, MaxInnerIters=5)
+    init = InitOptions(distr=("rand",) * 7, normalize=True,
+                       lambdas_init=((1,) * R,) * 3)
+    state = init_coupled(spec, data, init, key=1)
+    return spec, data, state, opts
+
+
+def bench_tpu(spec, data, state, opts):
+    proxes, reg_fns = build_proxes(spec)
+    step = make_outer_step(spec, opts, proxes, reg_fns, True)
+    grams, colnorms = init_cache(spec, state)
+
+    @jax.jit
+    def n_steps(state, data, grams, colnorms):
+        def body(i, c):
+            state, grams, colnorms = c
+            state, grams, colnorms, *_ = step(state, data, grams, colnorms)
+            return (state, grams, colnorms)
+        return jax.lax.fori_loop(0, N_ITERS, body, (state, grams, colnorms))
+
+    out = n_steps(state, data, grams, colnorms)   # compile + warm
+    np.asarray(out[0].fac[0])                     # force full host sync
+    t0 = time.perf_counter()
+    out = n_steps(state, data, grams, colnorms)
+    np.asarray(out[0].fac[0])
+    dt_iter = (time.perf_counter() - t0) / N_ITERS
+    assert bool(jnp.all(jnp.isfinite(out[0].fac[0])))
+
+    # MTTKRP roofline measurement on the big tensor
+    X = data.objects[0]
+    facs = [out[0].fac[m] for m in (0, 1, 2)]
+
+    @jax.jit
+    def mtt(X, facs):
+        return mttkrp(X, facs, 0)
+
+    np.asarray(mtt(X, facs))
+    reps = 20
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        r = mtt(X, facs)
+    np.asarray(r)
+    t_mtt = (time.perf_counter() - t0) / reps
+    flops = 2 * I * J1 * J2 * R + 2 * I * J1 * R  # contraction chain
+    return 1.0 / dt_iter, flops / t_mtt / 1e9
+
+
+def bench_numpy_baseline(spec, data, state, opts, iters=3):
+    """Identical sweep in pure numpy on host CPU (ALS + nonneg ADMM)."""
+    facs = [np.asarray(state.fac[m], np.float64) for m in range(7)]
+    Z = [np.asarray(state.constraint_fac[m], np.float64) for m in range(7)]
+    U = [np.asarray(state.constraint_dual_fac[m], np.float64) for m in range(7)]
+    Delta = np.asarray(state.coupling_fac[0], np.float64)
+    muD = [np.asarray(state.coupling_dual_fac[m], np.float64)
+           if state.coupling_dual_fac[m] is not None else None
+           for m in range(7)]
+    Xs = [np.asarray(data.objects[p], np.float64) for p in range(3)]
+    grams = [f.T @ f for f in facs]
+    datasets = [((0, 1, 2), Xs[0], 1 / 3), ((3, 4), Xs[1], 1 / 3),
+                ((5, 6), Xs[2], 1 / 3)]
+
+    def np_mttkrp(X, modes, local):
+        if X.ndim == 3:
+            sub = "ijk"
+            ops = [f"{sub[i]}r" for i in range(3) if i != local]
+            eq = f"ijk,{ops[0]},{ops[1]}->{sub[local]}r"
+            rest = [facs[m] for i, m in enumerate(modes) if i != local]
+            return np.einsum(eq, X, *rest, optimize=True)
+        other = modes[1 - local]
+        return (X @ facs[other]) if local == 0 else (X.T @ facs[other])
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        # uncoupled constrained modes (cid 0)
+        for modes, X, w in datasets:
+            for local, m in enumerate(modes):
+                if m in (0, 3, 5):
+                    continue
+                A = w * np_mttkrp(X, modes, local)
+                C = np.ones((R, R))
+                for i, mm in enumerate(modes):
+                    if i != local:
+                        C *= grams[mm]
+                rho = np.trace(C) / R
+                B = w * C + rho / 2 * np.eye(R)
+                L = np.linalg.cholesky(B)
+                for _inner in range(opts.MaxInnerIters):
+                    Ai = A + rho / 2 * (Z[m] - U[m])
+                    f = np.linalg.solve(B, Ai.T).T
+                    Z[m] = np.maximum(f + U[m], 0)
+                    U[m] = U[m] + f - Z[m]
+                facs[m] = f
+                grams[m] = f.T @ f
+        # coupled modes
+        pre = {}
+        for modes, X, w in datasets:
+            for local, m in enumerate(modes):
+                if m not in (0, 3, 5):
+                    continue
+                A = w * np_mttkrp(X, modes, local)
+                C = np.ones((R, R))
+                for i, mm in enumerate(modes):
+                    if i != local:
+                        C *= grams[mm]
+                rho = np.trace(C) / R
+                B = w * C + rho * np.eye(R)
+                pre[m] = (A, B, rho)
+        for _inner in range(opts.MaxInnerIters):
+            for m in (0, 3, 5):
+                A, B, rho = pre[m]
+                Ai = A + rho / 2 * (Delta - muD[m]) + rho / 2 * (Z[m] - U[m])
+                facs[m] = np.linalg.solve(B, Ai.T).T
+            num = sum(pre[m][2] * (facs[m] + muD[m]) for m in (0, 3, 5))
+            Delta = num / sum(pre[m][2] for m in (0, 3, 5))
+            for m in (0, 3, 5):
+                muD[m] = muD[m] + facs[m] - Delta
+                Z[m] = np.maximum(facs[m] + U[m], 0)
+                U[m] = U[m] + facs[m] - Z[m]
+        for m in (0, 3, 5):
+            grams[m] = facs[m].T @ facs[m]
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    dev = jax.devices()[0]
+    spec, data, state, opts = build_problem()
+    iters_per_s, mttkrp_gflops = bench_tpu(spec, data, state, opts)
+    t_np = bench_numpy_baseline(spec, data, state, opts)
+    np_iters_per_s = 1.0 / t_np
+    print(f"# device: {dev}", flush=True)
+    print(f"# mttkrp_gflops_per_s: {mttkrp_gflops:.1f}")
+    print(f"# numpy_cpu_iters_per_s: {np_iters_per_s:.3f}")
+    print(json.dumps({
+        "metric": "aoadmm_iters_per_s",
+        "value": round(iters_per_s, 3),
+        "unit": "outer_iters/s",
+        "vs_baseline": round(iters_per_s / np_iters_per_s, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,35 @@
+"""Example 1a: CP (30x20x50) + PARAFAC2 (30 x 200*30 x 30), exact coupling on
+mode 0/3; l2-ball on both coupled modes, GL smoothness on the Bk mode,
+nonneg-l2-ball on C.  Port of example_script1a_CP_PAR2_smooth_l2ball.m
+(sizes :26, constraints :62-65)."""
+import sys
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from matlab_code_tpu import (
+    ProblemSpec, DatasetSpec, CouplingSpec, ConstraintSpec, AlgOptions)
+from examples.common import run
+
+
+def build(small=False):
+    K, J = (6, 40) if small else (30, 200)
+    spec = ProblemSpec(
+        mode_sizes=(30, 20, 50, 30, (J,) * K, K),
+        datasets=(DatasetSpec(model="CP", modes=(0, 1, 2), rank=3, weight=0.5),
+                  DatasetSpec(model="PAR2", modes=(3, 4, 5), rank=3,
+                              weight=0.5)),
+        coupling=CouplingSpec(lin_coupled_modes=(1, 0, 0, 1, 0, 0),
+                              coupling_type=(0,)),
+        constraints=(ConstraintSpec("l2-ball", (1.0,)), None, None,
+                     ConstraintSpec("l2-ball", (1.0,)),
+                     ConstraintSpec("GL smoothness", (1.0,)),
+                     ConstraintSpec("non-negative l2-ball", (1.0,))))
+    opts = AlgOptions(MaxOuterIters=400 if small else 4000, MaxInnerIters=5,
+                      AbsFuncTol=1e-7, OuterRelTol=1e-8)
+    return dict(spec=spec, lambdas=[[1, 1, 1], [1, 1, 1]],
+                distr=["randn", "randn", "randn", "randn", "randn",
+                       "rand+0.1"],
+                opts=opts, key=2, bk_style="smooth")
+
+
+if __name__ == "__main__":
+    run(**build())

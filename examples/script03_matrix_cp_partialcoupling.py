@@ -1,0 +1,37 @@
+"""Example 3: 3-way CP rank 4 (50x30x40) + matrix rank 3 (50x70), partial
+type-4 coupling C = Delta*H with selector H = [I3; 0], nonneg + the
+non-convex nonneg l2-sphere on the matrix's second mode.
+Port of example_script3_matrix_CP_partialcoupling_nonneg.m
+(sizes :23, coupling :34-39, constraints :61-63)."""
+import sys
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import numpy as np
+
+from matlab_code_tpu import (
+    ProblemSpec, DatasetSpec, CouplingSpec, ConstraintSpec, AlgOptions)
+from examples.common import run
+
+NN = ConstraintSpec("non-negativity")
+
+
+def build(small=False):
+    spec = ProblemSpec(
+        mode_sizes=(50, 30, 40, 50, 70),
+        datasets=(DatasetSpec(model="CP", modes=(0, 1, 2), rank=4, weight=0.5),
+                  DatasetSpec(model="CP", modes=(3, 4), rank=3, weight=0.5)),
+        coupling=CouplingSpec(lin_coupled_modes=(1, 0, 0, 1, 0),
+                              coupling_type=(4,)),
+        constraints=(NN, None, None, NN,
+                     ConstraintSpec("non-negative l2-sphere", (1.0,))))
+    H0 = np.eye(4)
+    H3 = np.vstack([np.eye(3), np.zeros((1, 3))])
+    opts = AlgOptions(MaxOuterIters=800 if small else 8000, MaxInnerIters=5,
+                      AbsFuncTol=1e-7, OuterRelTol=1e-8)
+    return dict(spec=spec, lambdas=[[1] * 4, [1] * 3],
+                distr=["rand", "randn", "randn", "rand", "rand"],
+                coupl_trafo=[H0, None, None, H3, None], opts=opts, key=2)
+
+
+if __name__ == "__main__":
+    run(**build())

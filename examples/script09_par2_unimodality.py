@@ -1,0 +1,31 @@
+"""Example 9: PARAFAC2 (10 x 50*15 x 15) with unimodality on the Bk mode
+(delayed to outer iteration 100, rho_Bk scaled x10) and nonneg C; true Bk are
+shifted Gaussian bumps.  Port of example_script9_PAR2_unimodality.m
+(sizes :22, constraints :53-54, options :106-123)."""
+import sys
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from matlab_code_tpu import (
+    ProblemSpec, DatasetSpec, CouplingSpec, ConstraintSpec, AlgOptions)
+from examples.common import run
+
+
+def build(small=False):
+    K, J = (8, 30) if small else (15, 50)
+    spec = ProblemSpec(
+        mode_sizes=(10, (J,) * K, K),
+        datasets=(DatasetSpec(model="PAR2", modes=(0, 1, 2), rank=3),),
+        coupling=CouplingSpec(lin_coupled_modes=(0, 0, 0), coupling_type=()),
+        constraints=(None, ConstraintSpec("unimodality", (False,)),
+                     ConstraintSpec("non-negativity")))
+    opts = AlgOptions(MaxOuterIters=500 if small else 5000, MaxInnerIters=20,
+                      AbsFuncTol=1e-7, OuterRelTol=1e-8,
+                      iter_start_PAR2Bkconstraint=100,
+                      increase_factor_rhoBk=10.0)
+    return dict(spec=spec, lambdas=[[1, 1, 1]],
+                distr=["randn", "rand", "rand+0.1"], opts=opts, key=2,
+                bk_style="unimodal")
+
+
+if __name__ == "__main__":
+    run(**build())

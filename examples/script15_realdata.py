@@ -1,0 +1,68 @@
+"""Example 15: EEM/NMR/LCMS-style triple fusion — three CP datasets (two
+3-way tensors + one matrix) sharing the sample mode through a type-4
+selector coupling (EEM uses 3 of 6 latent components, NMR 5, LCMS a
+permuted/partial 5), all modes nonneg, best of N random starts by minimum
+f_tensors.  The reference's raw EEM_NMR_LCMS.mat is not redistributable
+(example_script15:11, .MISSING_LARGE_BLOBS); this port reproduces the full
+pipeline — selector matrices :47-51, 20 random starts :113-135, options
+:101-108 — on matched synthetic data.
+"""
+import sys
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import numpy as np
+
+from matlab_code_tpu import (
+    ProblemSpec, DatasetSpec, CouplingSpec, ConstraintSpec, AlgOptions)
+from examples.common import run
+
+NN = ConstraintSpec("non-negativity")
+
+
+def build(small=False):
+    S = 28  # samples
+    spec = ProblemSpec(
+        mode_sizes=(S, 60, 30, S, 80, 16, S, 120),
+        datasets=(DatasetSpec(model="CP", modes=(0, 1, 2), rank=3,
+                              weight=1 / 3),
+                  DatasetSpec(model="CP", modes=(3, 4, 5), rank=5,
+                              weight=1 / 3),
+                  DatasetSpec(model="CP", modes=(6, 7), rank=5,
+                              weight=1 / 3)),
+        coupling=CouplingSpec(lin_coupled_modes=(1, 0, 0, 1, 0, 0, 1, 0),
+                              coupling_type=(4,)),
+        constraints=(NN,) * 8)
+    # selector matrices (example_script15:47-51): Delta has 6 columns
+    H0 = np.vstack([np.eye(3), np.zeros((3, 3))])            # (6, 3)
+    H3 = np.vstack([np.eye(5), np.zeros((1, 5))])            # (6, 5)
+    T = np.hstack([np.eye(4), np.zeros((4, 1))])
+    T = np.vstack([T, np.zeros((1, 5)), np.array([[0, 0, 0, 0, 1]])])  # (6,5)
+    H6 = T
+    opts = AlgOptions(MaxOuterIters=1000 if small else 20000, MaxInnerIters=5,
+                      AbsFuncTol=1e-4, OuterRelTol=1e-10)
+    return dict(spec=spec, lambdas=[[1] * 3, [1] * 5, [1] * 5],
+                distr=["rand"] * 8,
+                coupl_trafo=[H0, None, None, H3, None, None, H6, None],
+                opts=opts, noise=0.03)
+
+
+def main(n_starts=20, small=False):
+    cfg = build(small=small)
+    best = None
+    for s in range(n_starts):
+        res = run(**cfg, key=s, verbose=False)
+        f = res["out"].f_tensors
+        print(f"start {s:2d}: f_tensors={f:.6e} "
+              f"iters={res['out'].OuterIterations}")
+        if best is None or f < best["out"].f_tensors:
+            best = res
+    print("--- best run ---")
+    from examples.common import summarize
+    summarize(cfg["spec"], best["data"], best["zhat"], best["Atrue"],
+              best["out"])
+    return best
+
+
+if __name__ == "__main__":
+    main(n_starts=int(sys.argv[1]) if len(sys.argv) > 1 else 20,
+         small="--small" in sys.argv)

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-_LS_MAX_STEPS = 30
+_LS_MAX_STEPS = 60
 
 
 class LbfgsbResult(NamedTuple):
@@ -82,7 +82,7 @@ def lbfgsb(value_and_grad: Callable, x0: jnp.ndarray,
 
         return lax.fori_loop(0, m, fwd, r)
 
-    def line_search(x, f, g, d):
+    def line_search(x, f, g, d, alpha0):
         """Projected backtracking: find alpha with Armijo decrease on
         x_a = proj(x + alpha d)."""
         def cond(c):
@@ -104,7 +104,7 @@ def lbfgsb(value_and_grad: Callable, x0: jnp.ndarray,
                     jnp.where(ok, g_try, g_new),
                     ls_it + 1, ok)
 
-        init = (jnp.asarray(1.0, dt), x, f, g, jnp.int32(0), jnp.bool_(False))
+        init = (alpha0, x, f, g, jnp.int32(0), jnp.bool_(False))
         _, x_new, f_new, g_new, _, ok = lax.while_loop(cond, body, init)
         return x_new, f_new, g_new, ok
 
@@ -126,7 +126,14 @@ def lbfgsb(value_and_grad: Callable, x0: jnp.ndarray,
         # direction on the free subspace
         desc = jnp.dot(gf, d)
         d = jnp.where(desc < 0, d, -gf)
-        x_new, f_new, g_new, ok = line_search(x, f, g, d)
+        # first step (no curvature info yet) is normalized to unit length —
+        # otherwise steep losses (KL with near-zero model entries) would need
+        # more backtracking than any fixed budget covers
+        dnorm = jnp.linalg.norm(d)
+        alpha0 = jnp.where(k == 0,
+                           jnp.minimum(1.0, 1.0 / jnp.maximum(dnorm, 1e-30)),
+                           jnp.asarray(1.0, dt)).astype(dt)
+        x_new, f_new, g_new, ok = line_search(x, f, g, d, alpha0)
         s = x_new - x
         yv = g_new - g
         sy = jnp.dot(s, yv)

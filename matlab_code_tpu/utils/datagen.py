@@ -62,6 +62,19 @@ def _smooth_bks(sizes, R, rng):
     return out
 
 
+def _temporal_bks(sizes, R, rng, drift=0.05):
+    """Temporally smooth Bk: a slow random walk across k (synthetic analogue
+    of the tPARAFAC2 fixture data of example_script11, whose shipped .mat
+    ground truth evolves smoothly in time)."""
+    J = sizes[0]
+    B = rng.uniform(size=(J, R))
+    out = [B]
+    for _ in sizes[1:]:
+        B = B + drift * rng.standard_normal((J, R))
+        out.append(B)
+    return out
+
+
 def _unimodal_bks(sizes, R, rng):
     """Shifted Gaussian-bump Bk (create_coupled_data_unimodalBks.m:66-82)."""
     J = sizes[0]
@@ -120,6 +133,8 @@ def create_coupled_data(spec: ProblemSpec, lambdas, noise, distr,
                     A[n] = _smooth_bks(sizes, R, rng)
                 elif bk_style == "unimodal":
                     A[n] = _unimodal_bks(sizes, R, rng)
+                elif bk_style == "temporal":
+                    A[n] = _temporal_bks(sizes, R, rng)
                 else:
                     raise ValueError(bk_style)
             else:
@@ -229,11 +244,12 @@ def create_coupled_data(spec: ProblemSpec, lambdas, noise, distr,
             sigma[p] = sig
 
     objects = []
+    dt = jnp.result_type(float)   # f64 under x64, f32 on TPU default
     for p, ds in enumerate(spec.datasets):
         if ds.model == PAR2:
-            objects.append(Parafac2Tensor.from_list(X[p]))
+            objects.append(Parafac2Tensor.from_list(X[p], dtype=dt))
         else:
-            objects.append(jnp.asarray(X[p]))
+            objects.append(jnp.asarray(np.asarray(X[p], dtype=dt)))
     data = ProblemData(
         objects=tuple(objects),
         coupl_trafo=tuple(jnp.asarray(H) if H is not None else None
