@@ -62,7 +62,8 @@ def tv_denoise_vector(y: jnp.ndarray, lam: jnp.ndarray) -> jnp.ndarray:
                 k, k0, km, kp, vmin, vmax, umin, umax, x, fresh, done = s
                 x = seg_write(x, k0, kp, vmax)
                 k_ = kp + 1
-                return (k_, k_, km, k_, y[k_ - 1] - lam - vmin, y[k_ - 1],
+                # vmin is left unchanged (paper step j)
+                return (k_, k_, km, k_, vmin, y[k_ - 1],
                         y[k_ - 1] - lam - vmin, -lam, x, jnp.bool_(True), done)
 
             def fin(s):

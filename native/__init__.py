@@ -1,0 +1,122 @@
+"""ctypes bindings for the native host-side kernel library (kernels.cc).
+
+Builds lazily on first import (g++ -O3 -shared).  These are the C++
+equivalents of the reference's external native dependencies (TV_Condat_v2,
+Proximity Operator Repository kernels, L-BFGS-B-C) and serve as the golden
+host path; the TPU compute path uses matlab_code_tpu/ops/.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libkernels.so")
+_SRC = os.path.join(_DIR, "kernels.cc")
+
+
+def _build():
+    subprocess.run(
+        ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+         _SRC, "-o", _SO],
+        check=True, capture_output=True)
+
+
+def _load():
+    if (not os.path.exists(_SO)
+            or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+        _build()
+    lib = ctypes.CDLL(_SO)
+    dptr = ctypes.POINTER(ctypes.c_double)
+    lib.tv_denoise.argtypes = [dptr, dptr, ctypes.c_int64, ctypes.c_double]
+    lib.tv_denoise_cols.argtypes = [dptr, dptr, ctypes.c_int64,
+                                    ctypes.c_int64, ctypes.c_double]
+    lib.isotonic.argtypes = [dptr, dptr, ctypes.c_int64]
+    lib.unimodal.argtypes = [dptr, dptr, ctypes.c_int64, ctypes.c_int]
+    lib.simplex_project.argtypes = [dptr, dptr, ctypes.c_int64,
+                                    ctypes.c_double]
+    lib.lbfgsb_minimize.restype = ctypes.c_int64
+    lib.lbfgsb_minimize.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, dptr, ctypes.c_int64, dptr, dptr,
+        ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_double]
+    return lib
+
+
+_lib = _load()
+_FG = ctypes.CFUNCTYPE(ctypes.c_double, ctypes.POINTER(ctypes.c_double),
+                       ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+                       ctypes.c_void_p)
+
+
+def _as_c(a):
+    a = np.ascontiguousarray(a, dtype=np.float64)
+    return a, a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def tv_denoise(y: np.ndarray, lam: float) -> np.ndarray:
+    y, yp = _as_c(y)
+    x = np.empty_like(y)
+    _lib.tv_denoise(yp, x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                    y.shape[0], lam)
+    return x
+
+
+def prox_tv(Y: np.ndarray, lam: float) -> np.ndarray:
+    """Column-wise TV prox of an (n, r) matrix."""
+    Yf, yp = _as_c(np.asarray(Y).T)        # column-contiguous
+    X = np.empty_like(Yf)
+    _lib.tv_denoise_cols(yp, X.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                         Yf.shape[1], Yf.shape[0], lam)
+    return X.T
+
+
+def isotonic(y: np.ndarray, increasing: bool = True) -> np.ndarray:
+    sign = 1.0 if increasing else -1.0
+    y, yp = _as_c(sign * np.asarray(y))
+    x = np.empty_like(y)
+    _lib.isotonic(yp, x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                  y.shape[0])
+    return sign * x
+
+
+def unimodal(y: np.ndarray, nonneg: bool = False) -> np.ndarray:
+    y, yp = _as_c(y)
+    x = np.empty_like(y)
+    _lib.unimodal(yp, x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                  y.shape[0], int(nonneg))
+    return x
+
+
+def simplex_project(y: np.ndarray, eta: float = 1.0) -> np.ndarray:
+    y, yp = _as_c(y)
+    x = np.empty_like(y)
+    _lib.simplex_project(yp, x.ctypes.data_as(
+        ctypes.POINTER(ctypes.c_double)), y.shape[0], eta)
+    return x
+
+
+def lbfgsb(fun, x0, lower, upper, m=5, maxiter=100, pgtol=1e-5, factr=1e7):
+    """Minimize fun(x)->(f, grad) over box [lower, upper].  Returns (x, its)."""
+    n = int(np.asarray(x0).shape[0])
+    x = np.ascontiguousarray(x0, dtype=np.float64).copy()
+    lo = np.ascontiguousarray(np.broadcast_to(lower, (n,)), dtype=np.float64)
+    hi = np.ascontiguousarray(np.broadcast_to(upper, (n,)), dtype=np.float64)
+
+    def cb(xp, gp, nn, ctx):
+        xa = np.ctypeslib.as_array(xp, shape=(nn,))
+        f, g = fun(xa.copy())
+        ga = np.ctypeslib.as_array(gp, shape=(nn,))
+        ga[:] = np.asarray(g, dtype=np.float64)
+        return float(f)
+
+    cfun = _FG(cb)
+    its = _lib.lbfgsb_minimize(
+        ctypes.cast(cfun, ctypes.c_void_p), None,
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n,
+        lo.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        hi.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        m, maxiter, pgtol, factr)
+    return x, int(its)

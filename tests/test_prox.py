@@ -214,6 +214,18 @@ def test_tv_prox_piecewise_constant():
     _tv_kkt_check(y, got, 0.5)
 
 
+def test_tv_prox_kkt_fuzz():
+    # regression: a vmin-clobbering bug in the boundary restart survived the
+    # small fixed cases; fuzz across lengths and strengths with the exact
+    # optimality certificate
+    r = np.random.default_rng(123)
+    for n in (5, 9, 23, 51, 101):
+        for lam in (0.01, 0.2, 1.0, 5.0):
+            y = r.standard_normal(n) * r.uniform(0.5, 3)
+            got = np.asarray(prox_tv(jnp.asarray(y)[:, None], lam))[:, 0]
+            _tv_kkt_check(y, got, lam, tol=1e-8)
+
+
 def test_tv_prox_large_lambda_is_mean():
     y = rng.standard_normal(12)
     got = np.asarray(prox_tv(jnp.asarray(y)[:, None], 100.0))[:, 0]
