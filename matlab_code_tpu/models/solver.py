@@ -403,6 +403,12 @@ def _get_phase_runner(spec: ProblemSpec, options: AlgOptions,
             for m, v in inner_its.items():
                 inner_col = inner_col.at[m].set(v)
             hist["inner_iters"] = hist["inner_iters"].at[:, it].set(inner_col)
+            if "lbfgsb_iters" in hist:
+                lb_col = jnp.zeros((nb_modes,), jnp.int32)
+                for m, v in lbfgs_its.items():
+                    lb_col = lb_col.at[m].set(v)
+                hist["lbfgsb_iters"] = hist["lbfgsb_iters"].at[:, it].set(
+                    lb_col)
             if options.Display == "iter":
                 f_total = sum(f4_new)
 
@@ -453,6 +459,7 @@ class FitOutput:
     innerIters: np.ndarray
     time_total: float
     time_at_it: np.ndarray | None = None
+    lbfgsb_iterations: np.ndarray | None = None
 
 
 def _has_bk_constraint(spec: ProblemSpec) -> bool:
@@ -488,6 +495,8 @@ def fit(spec: ProblemSpec, data: ProblemData, state: SolverState,
     }
     if miss_flag:
         hist["f_rel_missing"] = jnp.full((T + 1,), np.nan, dt)
+    if spec.has_non_frobenius():
+        hist["lbfgsb_iters"] = jnp.zeros((spec.nb_modes, T + 1), jnp.int32)
 
     start = options.iter_start_PAR2Bkconstraint
     if _has_bk_constraint(spec) and start > 1:
@@ -532,7 +541,9 @@ def fit(spec: ProblemSpec, data: ProblemData, state: SolverState,
         func_rel_missing=(np.asarray(hist["f_rel_missing"][:n_iter + 1])
                           if miss_flag else None),
         innerIters=np.asarray(hist["inner_iters"][:, :n_iter + 1]),
-        time_total=t_total)
+        time_total=t_total,
+        lbfgsb_iterations=(np.asarray(hist["lbfgsb_iters"][:, :n_iter + 1])
+                           if "lbfgsb_iters" in hist else None))
 
     if options.Display in ("iter", "final"):
         print(f"{n_iter:6d} {sum(f4):12.8f} {f4[0]:12.8f} {f4[1]:12.8f} "
