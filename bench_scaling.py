@@ -1,0 +1,78 @@
+"""Weak-scaling harness: iterations/s of the fully sharded coupled step at
+1/2/4/8 devices with the per-device problem size held constant.
+
+On this box it runs on virtual CPU devices (set JAX_PLATFORMS=cpu
+XLA_FLAGS=--xla_force_host_platform_device_count=8) to validate the sharding
+path and measure parallel efficiency of the partitioned program; on a real
+multi-chip slice the same code scales over ICI.
+"""
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def measure(n_devices: int, iters: int = 10) -> float:
+    import __graft_entry__ as ge
+    from matlab_code_tpu.parallel.sharding import (
+        make_mesh, data_shardings, state_shardings)
+    from matlab_code_tpu.models.solver import init_cache
+    # per-device constant work: I0 and K scale with devices
+    I0 = 16 * n_devices
+    K = 4 * n_devices
+    spec, data, state, step = ge._flagship(I0=I0, J1=24, J2=32, K=K, Jb=20,
+                                           R=4)
+    grams, colnorms = init_cache(spec, state)
+    mesh = make_mesh(n_devices)
+    data_sh, sharded = data_shardings(spec, data, mesh)
+    state_sh = state_shardings(spec, state, mesh, sharded)
+    rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    gram_sh = tuple(None if g is None else rep for g in grams)
+
+    def fn(state, data, grams, colnorms):
+        def body(i, c):
+            s, g, cn = c
+            s, g, cn, *_ = step(s, data, g, cn)
+            return (s, g, cn)
+        return jax.lax.fori_loop(0, iters, body, (state, grams, colnorms))
+
+    jitted = jax.jit(fn, in_shardings=(state_sh, data_sh, gram_sh, rep),
+                     out_shardings=(state_sh, gram_sh, rep))
+    args = (jax.device_put(state, state_sh), jax.device_put(data, data_sh),
+            jax.device_put(grams, gram_sh), jax.device_put(colnorms, rep))
+    out = jitted(*args)
+    np.asarray(out[0].fac[0])
+    t0 = time.perf_counter()
+    out = jitted(*args)
+    np.asarray(out[0].fac[0])
+    return iters / (time.perf_counter() - t0)
+
+
+def main():
+    results = {}
+    if jax.devices()[0].platform == "cpu":
+        print("# NOTE: virtual CPU devices share one physical host — this "
+              "validates the sharded program, it does not measure hardware "
+              "scaling (per-'device' efficiency is bounded by core "
+              "oversubscription + emulated collectives).")
+    counts = [n for n in (1, 2, 4, 8) if n <= len(jax.devices())]
+    for n in counts:
+        results[n] = measure(n)
+        print(f"devices={n}: {results[n]:.2f} it/s "
+              f"(work per device constant)")
+    if len(counts) > 1:
+        base = results[counts[0]]
+        for n in counts[1:]:
+            eff = results[n] / base
+            print(f"weak-scaling efficiency @ {n} devices: {eff:.2%}")
+    print(json.dumps({"metric": "weak_scaling_iters_per_s",
+                      "value": results[counts[-1]],
+                      "unit": "outer_iters/s",
+                      "vs_baseline": round(results[counts[-1]] /
+                                           results[counts[0]], 3)}))
+
+
+if __name__ == "__main__":
+    main()

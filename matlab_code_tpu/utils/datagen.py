@@ -223,8 +223,11 @@ def create_coupled_data(spec: ProblemSpec, lambdas, noise, distr,
             elif ds.loss == "KL":
                 X[p] = rng.poisson(np.maximum(M, 0)).astype(float)
                 sigma[p] = 0.0
-            elif ds.loss == "IS":
-                k = ds.loss_param
+            elif ds.loss in ("IS", "beta"):
+                # Gamma observation noise with shape loss_param
+                # (create_coupled_data.m:165-166); 'beta' reuses the same
+                # positive multiplicative-noise family (no reference analogue)
+                k = ds.loss_param if ds.loss_param else 2.0
                 X[p] = rng.gamma(k, np.maximum(M, 1e-12) / k)
                 sigma[p] = 0.0
             else:
