@@ -117,6 +117,7 @@ def make_outer_step(spec: ProblemSpec, options: AlgOptions, proxes, reg_fns,
         inner_its: dict[int, Any] = {}
         lbfgs_its: dict[int, Any] = {}
         cached: dict[int, Any] = {}
+        partials: dict[int, Any] = {}   # per-sweep dimension-tree cache
 
         for cid in spec.coupling_ids():
             cmodes = spec.coupled_modes_of(cid)
@@ -133,7 +134,7 @@ def make_outer_step(spec: ProblemSpec, options: AlgOptions, proxes, reg_fns,
                     if role == "cp":
                         if frob:
                             pre = cp_mode_precompute(spec, data, state, grams,
-                                                     p, m, options)
+                                                     p, m, options, partials)
                             cached[p] = (pre.last_mttkrp, pre.last_had,
                                          ds.modes.index(m))
                         else:
@@ -195,7 +196,7 @@ def make_outer_step(spec: ProblemSpec, options: AlgOptions, proxes, reg_fns,
                         active = constrained and bk_constraint_active
                         A, L, rho = par2B_precompute(
                             spec, data, state, grams, p, m, options,
-                            constraint_active=active)
+                            constraint_active=active, partials=partials)
                         cached[p] = (None, None, 1)
                         bmask = data.objects[p].mask
                         regular = len(set(spec.par2_slice_sizes(p))) == 1
@@ -207,7 +208,7 @@ def make_outer_step(spec: ProblemSpec, options: AlgOptions, proxes, reg_fns,
                         grams = refresh_gram(spec, state, grams, m)
                     else:  # par2_C
                         pre = par2C_precompute(spec, data, state, grams, p, m,
-                                               options)
+                                               options, partials=partials)
                         cached[p] = (None, None, 2)
                         if cid == 0:
                             if not constrained:

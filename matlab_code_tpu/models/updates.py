@@ -33,14 +33,39 @@ def _ridge_eye(spec: ProblemSpec, m: int, R: int, dtype) -> jnp.ndarray | None:
 
 
 def cp_mode_precompute(spec: ProblemSpec, data: ProblemData, state, grams,
-                       p: int, m: int, options) -> ModePre:
-    """CP / matrix mode precompute (cmtf_fun_AOADMM.m:96-127)."""
+                       p: int, m: int, options, partials: dict | None = None
+                       ) -> ModePre:
+    """CP / matrix mode precompute (cmtf_fun_AOADMM.m:96-127).
+
+    partials: optional per-sweep dimension-tree cache.  For 3-way tensors the
+    partial T1 = X x_0 A (einsum 'ijk,ir->jkr') is shared by the mode-1 and
+    mode-2 MTTKRPs, saving one full data pass per sweep.  The cache is keyed
+    by the identity of the mode-0 factor's traced value, so Gauss-Seidel
+    ordering is preserved exactly: a T1 built from a stale A is never reused
+    after A updates.
+    """
     ds = spec.datasets[p]
     X = data.objects[p]
     w = ds.weight
     R = ds.rank
     local = ds.modes.index(m)
-    if X.ndim >= 3:
+    if X.ndim == 3 and local > 0 and partials is not None and R <= X.shape[0]:
+        m0 = ds.modes[0]
+        A0 = state.fac[m0]
+        hit = partials.get(p)
+        if hit is None or hit[0] is not A0:
+            T1 = jnp.einsum("ijk,ir->jkr", X, A0, optimize=True)
+            partials[p] = (A0, T1)
+        else:
+            T1 = hit[1]
+        if local == 1:
+            A = w * jnp.einsum("jkr,kr->jr", T1, state.fac[ds.modes[2]],
+                               optimize=True)
+        else:
+            A = w * jnp.einsum("jkr,jr->kr", T1, state.fac[ds.modes[1]],
+                               optimize=True)
+        C = hadamard_grams([grams[j] for j in ds.modes if j != m])
+    elif X.ndim >= 3:
         A = w * mttkrp(X, [state.fac[j] for j in ds.modes], local)
         C = hadamard_grams([grams[j] for j in ds.modes if j != m])
     else:
@@ -93,8 +118,29 @@ def par2A_precompute(spec: ProblemSpec, data: ProblemData, state, grams,
     return ModePre(A=A, B=B, rho=rho, last_mttkrp=last_mttkrp, last_had=last_had)
 
 
+def _par2_W(spec, data, state, p, partials):
+    """Shared PARAFAC2 partial W = X_k^T A (K, Jmax, R), keyed by the
+    identity of the A factor's traced value so a stale A is never reused
+    (the Bk and C precomputes both run after the A update in the reference
+    sweep order, cmtf_fun_AOADMM.m:191-248)."""
+    ds = spec.datasets[p]
+    mA = ds.modes[0]
+    facA = state.fac[mA]
+    key = ("par2W", p)
+    if partials is not None:
+        hit = partials.get(key)
+        if hit is not None and hit[0] is facA:
+            return hit[1]
+    W = jnp.einsum("kij,ir->kjr", data.objects[p].slices, facA,
+                   optimize=True)
+    if partials is not None:
+        partials[key] = (facA, W)
+    return W
+
+
 def par2B_precompute(spec: ProblemSpec, data: ProblemData, state, grams,
-                     p: int, m: int, options, constraint_active: bool):
+                     p: int, m: int, options, constraint_active: bool,
+                     partials: dict | None = None):
     """Second PARAFAC2 mode (per-slice), batched (cmtf_fun_AOADMM.m:191-213).
 
     Returns (A (K,Jmax,R), L (K,R,R) cholesky of the fully assembled normal
@@ -107,7 +153,8 @@ def par2B_precompute(spec: ProblemSpec, data: ProblemData, state, grams,
     w = ds.weight
     R = ds.rank
     facA, facC = state.fac[mA], state.fac[mC]
-    A = w * jnp.einsum("kij,ir,kr->kjr", X.slices, facA, facC, optimize=True)
+    W = _par2_W(spec, data, state, p, partials)
+    A = w * (W * facC[:, None, :])
     C = jnp.einsum("kr,rs,ks->krs", facC, grams[mA], facC, optimize=True)
     rho = jnp.trace(C, axis1=1, axis2=2) / R
     if options.increase_factor_rhoBk is not None:
@@ -128,17 +175,20 @@ def par2B_precompute(spec: ProblemSpec, data: ProblemData, state, grams,
 
 
 def par2C_precompute(spec: ProblemSpec, data: ProblemData, state, grams,
-                     p: int, m: int, options) -> ModePre:
+                     p: int, m: int, options,
+                     partials: dict | None = None) -> ModePre:
     """Third PARAFAC2 mode, row-wise batched (cmtf_fun_AOADMM.m:219-233).
 
-    A: (K, R) rows w * diag(A^T X_k B_k); B: (K, R, R) = GramA .* GramB_k."""
+    A: (K, R) rows w * diag(A^T X_k B_k) = w * colsum(W_k .* B_k);
+    B: (K, R, R) = GramA .* GramB_k."""
     ds = spec.datasets[p]
     X = data.objects[p]
     mA, mB = ds.modes[0], ds.modes[1]
     w = ds.weight
     R = ds.rank
     facA, facB = state.fac[mA], state.fac[mB]
-    A = w * jnp.einsum("ir,kij,kjr->kr", facA, X.slices, facB, optimize=True)
+    W = _par2_W(spec, data, state, p, partials)
+    A = w * jnp.einsum("kjr,kjr->kr", W, facB, optimize=True)
     C = grams[mA][None, :, :] * grams[mB]
     rho = jnp.trace(C, axis1=1, axis2=2) / R
     B = w * C
