@@ -61,8 +61,14 @@ def func_eval(spec: ProblemSpec, data: ProblemData, state, grams,
                     fp = ds.weight * (znorm_consts[p] - 2.0 * f2 + f3)
                 else:
                     # fresh eval, cp_func.m:37-56 / pca_func.m:29-39
+                    from matlab_code_tpu.problem import SparseTensor
+                    from matlab_code_tpu.ops.tensor import mttkrp_sparse
                     facs = [state.fac[j] for j in ds.modes]
-                    mk = mttkrp(X, facs, 0)
+                    if isinstance(X, SparseTensor):
+                        mk = mttkrp_sparse(X.indices, X.values, facs, 0,
+                                           facs[0].shape[0])
+                    else:
+                        mk = mttkrp(X, facs, 0)
                     f2 = jnp.sum(mk * facs[0])
                     f3 = jnp.sum(hadamard_grams([gram(U) for U in facs]))
                     fp = ds.weight * (znorm_consts[p] - 2.0 * f2 + f3)

@@ -86,6 +86,7 @@ def init_cache(spec: ProblemSpec, state: SolverState):
 def compute_znorm_consts(spec: ProblemSpec, data: ProblemData,
                          options: AlgOptions):
     """Per-dataset data constants (cmtf_AOADMM.m:124-189)."""
+    from matlab_code_tpu.problem import SparseTensor
     out = []
     for p, ds in enumerate(spec.datasets):
         X = data.objects[p]
@@ -93,6 +94,8 @@ def compute_znorm_consts(spec: ProblemSpec, data: ProblemData,
         if ds.model == PAR2:
             Xs = jnp.where(msk, X.slices, 0.0) if msk is not None else X.slices
             out.append(jnp.sum(Xs * Xs))
+        elif isinstance(X, SparseTensor):
+            out.append(jnp.sum(X.values * X.values))
         else:
             out.append(losses.znorm_const(ds.loss, X, options.eps_log,
                                           ds.loss_param, msk))
@@ -468,6 +471,83 @@ def _has_bk_constraint(spec: ProblemSpec) -> bool:
         if ds.model == PAR2 and spec.is_constrained(ds.modes[1]):
             return True
     return False
+
+
+def fit_stepwise(spec: ProblemSpec, data: ProblemData, state: SolverState,
+                 options: AlgOptions, validate: bool = True):
+    """Host-stepped variant of fit(): one jitted outer sweep per call, with
+    stopping evaluated on the host and true per-iteration wall times recorded
+    (the reference's out.time_at_it, cmtf_fun_AOADMM.m:455).  ~1 dispatch
+    (~1 ms on this chip) of overhead per iteration vs the fully fused fit()."""
+    if validate:
+        check_data_input(spec, data)
+    miss_flag = has_missing(data)
+    znorms = compute_znorm_consts(spec, data, options)
+    proxes, reg_fns = build_proxes(spec)
+
+    bk = _has_bk_constraint(spec)
+    steps = {}
+    for active in ({False, True} if bk else {True}):
+        step = make_outer_step(spec, options, proxes, reg_fns, active)
+
+        def one(state, data, grams, colnorms, step=step):
+            state, grams, colnorms, cached, inner, lb = step(
+                state, data, grams, colnorms)
+            if miss_flag:
+                data, frm = em_impute(spec, data, state)
+            else:
+                frm = jnp.asarray(np.nan)
+            f4 = func_eval(spec, data, state, grams, znorms, reg_fns,
+                           cached=cached, options=options)
+            return state, data, grams, colnorms, f4, frm
+
+        steps[active] = jax.jit(one)
+
+    grams, colnorms = init_cache(spec, state)
+    f4 = func_eval(spec, data, state, grams, znorms, reg_fns, None, options)
+    f4 = tuple(float(v) for v in f4)
+    hist = [f4]
+    times = [0.0]
+    frm = float("nan")
+    t0 = time.perf_counter()
+    it = 1
+    stop = False
+    while it <= options.MaxOuterIters and not stop:
+        active = (not bk) or it >= max(options.iter_start_PAR2Bkconstraint, 0)
+        state, data, grams, colnorms, f4_new, frm_t = steps[active](
+            state, data, grams, colnorms)
+        f4_new = tuple(float(v) for v in f4_new)
+        frm = float(frm_t)
+        stop = bool(stopping(f4_new, f4, options))
+        if miss_flag:
+            stop = stop and frm < options.OuterRelTol
+        if not all(np.isfinite(f4_new)):
+            stop = True
+        hist.append(f4_new)
+        times.append(time.perf_counter() - t0)
+        f4 = f4_new
+        it += 1
+    n_iter = it - 1
+    harr = np.asarray(hist)
+    if n_iter >= options.MaxOuterIters and not stop:
+        exit_flag = "maxIterations"
+    elif not all(np.isfinite(f4)):
+        exit_flag = "illconditioned lin system"
+    else:
+        names = ("f_tensors", "f_couplings", "f_constraints",
+                 "f_PAR2_couplings")
+        exit_flag = {n: ("AbsFuncTol" if v < options.AbsFuncTol
+                         else "RelFuncTol") for n, v in zip(names, f4)}
+    out = FitOutput(
+        f_tensors=f4[0], f_couplings=f4[1], f_constraints=f4[2],
+        f_PAR2_couplings=f4[3], f_rel_missing=frm,
+        exit_flag=exit_flag, OuterIterations=n_iter,
+        func_val_conv=harr[:, 0], func_coupl_conv=harr[:, 1],
+        func_constr_conv=harr[:, 2], func_PAR2_coupl=harr[:, 3],
+        func_rel_missing=None, innerIters=np.zeros((spec.nb_modes, n_iter + 1),
+                                                   np.int32),
+        time_total=times[-1], time_at_it=np.asarray(times))
+    return state, out
 
 
 def fit(spec: ProblemSpec, data: ProblemData, state: SolverState,

@@ -44,12 +44,20 @@ def cp_mode_precompute(spec: ProblemSpec, data: ProblemData, state, grams,
     ordering is preserved exactly: a T1 built from a stale A is never reused
     after A updates.
     """
+    from matlab_code_tpu.problem import SparseTensor
+    from matlab_code_tpu.ops.tensor import mttkrp_sparse
     ds = spec.datasets[p]
     X = data.objects[p]
     w = ds.weight
     R = ds.rank
     local = ds.modes.index(m)
-    if X.ndim == 3 and local > 0 and partials is not None and R <= X.shape[0]:
+    if isinstance(X, SparseTensor):
+        A = w * mttkrp_sparse(X.indices, X.values,
+                              [state.fac[j] for j in ds.modes], local,
+                              spec.mode_sizes[m])
+        C = hadamard_grams([grams[j] for j in ds.modes if j != m])
+    elif X.ndim == 3 and local > 0 and partials is not None \
+            and R <= X.shape[0]:
         m0 = ds.modes[0]
         A0 = state.fac[m0]
         hit = partials.get(p)

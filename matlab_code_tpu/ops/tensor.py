@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import string
 
+import jax
 import jax.numpy as jnp
 
 _LETTERS = string.ascii_lowercase
@@ -53,6 +54,23 @@ def ktensor_full(factors: list[jnp.ndarray], weights: jnp.ndarray | None = None)
     subs = [f"{_LETTERS[i]}z" for i in range(n)]
     eq = ",".join(subs) + "->" + _LETTERS[:n]
     return jnp.einsum(eq, *operands, optimize=True)
+
+
+def mttkrp_sparse(indices: jnp.ndarray, values: jnp.ndarray,
+                  factors: list[jnp.ndarray], mode: int,
+                  out_dim: int) -> jnp.ndarray:
+    """MTTKRP of a COO sparse tensor: O(nnz * R) gather + segment-sum.
+
+    Equivalent of Tensor Toolbox sptensor mttkrp (used by the reference for
+    sparse CP data at cmtf_fun_AOADMM.m:97).  Gathers stay on the VPU; the
+    reduction is a sorted/unsorted segment_sum over the target mode's index.
+    """
+    contrib = values[:, None]
+    for j, f in enumerate(factors):
+        if j != mode:
+            contrib = contrib * f[indices[:, j]]
+    return jax.ops.segment_sum(contrib, indices[:, mode],
+                               num_segments=out_dim)
 
 
 def gram(U: jnp.ndarray) -> jnp.ndarray:

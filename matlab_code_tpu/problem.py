@@ -148,6 +148,33 @@ class Parafac2Tensor:
 
 @jax.tree_util.register_dataclass
 @dataclass
+class SparseTensor:
+    """COO sparse dense-shaped tensor for CP datasets (the reference's
+    Tensor Toolbox `sptensor`).  indices (nnz, ndim) int32, values (nnz,).
+    Like the reference, restricted to Frobenius loss and incompatible with
+    missing-data masks (cmtf_AOADMM.m:77-79)."""
+    indices: Any
+    values: Any
+
+    @property
+    def ndim(self):
+        return self.indices.shape[1]
+
+    @staticmethod
+    def from_dense(X, threshold=0.0):
+        X = np.asarray(X)
+        idx = np.argwhere(np.abs(X) > threshold)
+        return SparseTensor(jnp.asarray(idx.astype(np.int32)),
+                            jnp.asarray(X[tuple(idx.T)]))
+
+    def to_dense(self, shape):
+        out = np.zeros(shape, dtype=np.asarray(self.values).dtype)
+        out[tuple(np.asarray(self.indices).T)] = np.asarray(self.values)
+        return out
+
+
+@jax.tree_util.register_dataclass
+@dataclass
 class ProblemData:
     """Device-array side of the problem (pytree).
 
@@ -193,6 +220,17 @@ def check_data_input(spec: ProblemSpec, data: ProblemData | None = None) -> None
     if cpl.n_couplings != len(cpl.coupling_type):
         raise ValueError("Mismatch between number of couplings and coupling types")
 
+    if data is not None:
+        for p, ds in enumerate(spec.datasets):
+            if isinstance(data.objects[p], SparseTensor):
+                if ds.loss != "Frobenius":
+                    raise ValueError(
+                        "Sparse tensors are only supported with Frobenius "
+                        "loss")  # mirrors the sptensor restrictions
+                if data.miss[p] is not None:
+                    raise ValueError(
+                        "Missing data (miss) not supported for sparse "
+                        "tensors")  # cmtf_AOADMM.m:77-79
     for p, ds in enumerate(spec.datasets):
         if ds.model == PAR2:
             szB = spec.mode_sizes[ds.modes[1]]
