@@ -57,7 +57,7 @@ def cp_mode_precompute(spec: ProblemSpec, data: ProblemData, state, grams,
                               spec.mode_sizes[m])
         C = hadamard_grams([grams[j] for j in ds.modes if j != m])
     elif X.ndim == 3 and local > 0 and partials is not None \
-            and R <= X.shape[0]:
+            and options.cp_dimension_tree and R <= X.shape[0]:
         m0 = ds.modes[0]
         A0 = state.fac[m0]
         hit = partials.get(p)

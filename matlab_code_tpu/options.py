@@ -34,6 +34,11 @@ class AlgOptions:
     iter_start_PAR2Bkconstraint: int = 0   # cmtf_fun_AOADMM.m:7-9
     increase_factor_rhoBk: float | None = None  # cmtf_fun_AOADMM.m:196-198
     lbfgsb: LbfgsbOptions = field(default_factory=LbfgsbOptions)
+    # share the X x_0 A partial between the mode-1/2 MTTKRPs of 3-way CP
+    # sweeps (exact numerics; trades one data pass for an (J,K,R)
+    # intermediate — measured slower on v5e for the bench shapes, so off by
+    # default; the PARAFAC2 W-reuse is free and always on)
+    cp_dimension_tree: bool = False
 
 
 @dataclass(frozen=True)
