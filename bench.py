@@ -72,10 +72,12 @@ def bench_tpu(spec, data, state, opts):
 
     out = n_steps(state, data, grams, colnorms)   # compile + warm
     np.asarray(out[0].fac[0])                     # force full host sync
-    t0 = time.perf_counter()
-    out = n_steps(state, data, grams, colnorms)
-    np.asarray(out[0].fac[0])
-    dt_iter = (time.perf_counter() - t0) / N_ITERS
+    dt_iter = np.inf                              # best of 3 (noisy tunnel)
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = n_steps(state, data, grams, colnorms)
+        np.asarray(out[0].fac[0])
+        dt_iter = min(dt_iter, (time.perf_counter() - t0) / N_ITERS)
     assert bool(jnp.all(jnp.isfinite(out[0].fac[0])))
 
     # MTTKRP roofline measurement on the big tensor

@@ -466,6 +466,23 @@ class FitOutput:
     lbfgsb_iterations: np.ndarray | None = None
 
 
+def _warn_loss_data(spec: ProblemSpec, data: ProblemData) -> None:
+    """Data-vs-loss sanity warnings (cmtf_AOADMM.m:162-175):
+    KL expects count data, IS expects positive data."""
+    import warnings
+    for p, ds in enumerate(spec.datasets):
+        if ds.loss not in ("KL", "IS"):
+            continue
+        X = data.objects[p]
+        vals = np.asarray(X if not hasattr(X, "slices") else X.slices)
+        if ds.loss == "KL":
+            if np.any(vals < 0) or np.any(vals != np.round(vals)):
+                warnings.warn(f"Using 'KL' but dataset {p} is not count data")
+        else:
+            if np.any(vals <= 0):
+                warnings.warn(f"Using 'IS' but dataset {p} is not positive")
+
+
 def _has_bk_constraint(spec: ProblemSpec) -> bool:
     for p, ds in enumerate(spec.datasets):
         if ds.model == PAR2 and spec.is_constrained(ds.modes[1]):
@@ -555,6 +572,7 @@ def fit(spec: ProblemSpec, data: ProblemData, state: SolverState,
     """Run AO-ADMM to convergence.  Returns (state, FitOutput)."""
     if validate:
         check_data_input(spec, data)
+        _warn_loss_data(spec, data)
     miss_flag = has_missing(data)
     znorms = compute_znorm_consts(spec, data, options)
     dt = np.asarray(state.fac[0]).dtype
