@@ -597,6 +597,13 @@ def fit(spec: ProblemSpec, data: ProblemData, state: SolverState,
     if spec.has_non_frobenius():
         hist["lbfgsb_iters"] = jnp.zeros((spec.nb_modes, T + 1), jnp.int32)
 
+    if options.Display in ("iter", "final"):
+        # header row (cmtf_fun_AOADMM.m:44-51)
+        print(" Iter  f total      f tensors      f couplings    "
+              "f constraints    f PAR2 couplings")
+        print("------ ------------ -------------  -------------- "
+              "---------------- ----------------")
+
     start = options.iter_start_PAR2Bkconstraint
     if _has_bk_constraint(spec) and start > 1:
         phases = [(min(start - 1, T), False), (T, True)]
