@@ -19,10 +19,17 @@ _SRC = os.path.join(_DIR, "kernels.cc")
 
 
 def _build():
-    subprocess.run(
-        ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-         _SRC, "-o", _SO],
-        check=True, capture_output=True)
+    for flags in (["-O3", "-march=native"], ["-O3"]):
+        try:
+            subprocess.run(
+                ["g++", *flags, "-shared", "-fPIC", "-std=c++17",
+                 _SRC, "-o", _SO],
+                check=True, capture_output=True)
+            return
+        except subprocess.CalledProcessError as e:
+            err = e
+    raise RuntimeError(
+        f"native build failed: {err.stderr.decode(errors='replace')[:500]}")
 
 
 def _load():

@@ -37,7 +37,6 @@ def test_type0_exact_coupling_cp_matrix():
 def test_type1_HC_eq_Delta():
     # double-sampling-rate coupling like script 5: H picks every 2nd row
     n1, n2 = 20, 10
-    H1 = np.eye(n1)[: n2 * 2: 2][:n2]  # placeholder; replaced below
     H_a = np.zeros((n2, n1))
     for i in range(n2):
         H_a[i, 2 * i] = 1.0
