@@ -140,7 +140,6 @@ def admm_b_parafac2(spec: ProblemSpec, state: SolverState, m: int, p: int,
     def body(c):
         state, it, prc, drc, prk, drk = c
         P_, DB, mu = state.P[p], state.DeltaB[p], state.mu_DeltaB[p]
-        facB = state.fac[m]
         A_inner = A + 0.5 * rho[:, None, None] * (
             jnp.einsum("kjr,rs->kjs", P_, DB) - mu)
         if constrained:

@@ -35,8 +35,11 @@ def fit_multistart(spec: ProblemSpec, data: ProblemData, options: AlgOptions,
     best_out: dict with the four final streams + histories of the best start
     evaluated at ITS OWN stopping iteration.
     """
-    keys = [jax.random.PRNGKey(hash((base_key, s)) % (2 ** 31))
-            for s in range(n_starts)]
+    if isinstance(base_key, str):
+        import hashlib
+        base_key = int(hashlib.sha256(base_key.encode()).hexdigest()[:8], 16)
+    root = jax.random.PRNGKey(int(base_key))
+    keys = [jax.random.fold_in(root, s) for s in range(n_starts)]
     states = [init_coupled(spec, data, init_options, key=k,
                            delta_shapes=delta_shapes) for k in keys]
     batched = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)

@@ -364,12 +364,14 @@ def stopping(f4, f4_old, options: AlgOptions):
 
 
 _RUNNER_CACHE: dict = {}
+_RUNNER_CACHE_MAX = 32   # LRU bound: compiled runners pin device memory
 
 
 def _get_phase_runner(spec: ProblemSpec, options: AlgOptions,
                       bk_active: bool, last_it: int, miss_flag: bool):
     key = (spec, options, bk_active, last_it, miss_flag)
     if key in _RUNNER_CACHE:
+        _RUNNER_CACHE[key] = _RUNNER_CACHE.pop(key)   # mark most-recent
         return _RUNNER_CACHE[key]
     proxes, reg_fns = build_proxes(spec)
     outer_step = make_outer_step(spec, options, proxes, reg_fns, bk_active)
@@ -437,6 +439,8 @@ def _get_phase_runner(spec: ProblemSpec, options: AlgOptions,
 
     fn = jax.jit(run)
     _RUNNER_CACHE[key] = fn
+    while len(_RUNNER_CACHE) > _RUNNER_CACHE_MAX:
+        _RUNNER_CACHE.pop(next(iter(_RUNNER_CACHE)))
     return fn
 
 
@@ -498,6 +502,7 @@ def fit_stepwise(spec: ProblemSpec, data: ProblemData, state: SolverState,
     (~1 ms on this chip) of overhead per iteration vs the fully fused fit()."""
     if validate:
         check_data_input(spec, data)
+        _warn_loss_data(spec, data)
     miss_flag = has_missing(data)
     znorms = compute_znorm_consts(spec, data, options)
     proxes, reg_fns = build_proxes(spec)
@@ -516,7 +521,13 @@ def fit_stepwise(spec: ProblemSpec, data: ProblemData, state: SolverState,
                 frm = jnp.asarray(np.nan)
             f4 = func_eval(spec, data, state, grams, znorms, reg_fns,
                            cached=cached, options=options)
-            return state, data, grams, colnorms, f4, frm
+            inner_col = jnp.zeros((spec.nb_modes,), jnp.int32)
+            for mm, v in inner.items():
+                inner_col = inner_col.at[mm].set(v)
+            lb_col = jnp.zeros((spec.nb_modes,), jnp.int32)
+            for mm, v in lb.items():
+                lb_col = lb_col.at[mm].set(v)
+            return state, data, grams, colnorms, f4, frm, inner_col, lb_col
 
         steps[active] = jax.jit(one)
 
@@ -525,14 +536,18 @@ def fit_stepwise(spec: ProblemSpec, data: ProblemData, state: SolverState,
     f4 = tuple(float(v) for v in f4)
     hist = [f4]
     times = [0.0]
+    inner_hist = [np.zeros((spec.nb_modes,), np.int32)]
+    lb_hist = [np.zeros((spec.nb_modes,), np.int32)]
     frm = float("nan")
     t0 = time.perf_counter()
     it = 1
     stop = False
     while it <= options.MaxOuterIters and not stop:
         active = (not bk) or it >= max(options.iter_start_PAR2Bkconstraint, 0)
-        state, data, grams, colnorms, f4_new, frm_t = steps[active](
-            state, data, grams, colnorms)
+        state, data, grams, colnorms, f4_new, frm_t, inner_col, lb_col = \
+            steps[active](state, data, grams, colnorms)
+        inner_hist.append(np.asarray(inner_col))
+        lb_hist.append(np.asarray(lb_col))
         f4_new = tuple(float(v) for v in f4_new)
         frm = float(frm_t)
         stop = bool(stopping(f4_new, f4, options))
@@ -561,9 +576,11 @@ def fit_stepwise(spec: ProblemSpec, data: ProblemData, state: SolverState,
         exit_flag=exit_flag, OuterIterations=n_iter,
         func_val_conv=harr[:, 0], func_coupl_conv=harr[:, 1],
         func_constr_conv=harr[:, 2], func_PAR2_coupl=harr[:, 3],
-        func_rel_missing=None, innerIters=np.zeros((spec.nb_modes, n_iter + 1),
-                                                   np.int32),
-        time_total=times[-1], time_at_it=np.asarray(times))
+        func_rel_missing=None,
+        innerIters=np.stack(inner_hist, axis=1),
+        time_total=times[-1], time_at_it=np.asarray(times),
+        lbfgsb_iterations=(np.stack(lb_hist, axis=1)
+                           if spec.has_non_frobenius() else None))
     return state, out
 
 

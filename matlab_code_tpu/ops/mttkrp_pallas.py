@@ -10,9 +10,12 @@ once and fuses both contractions:
                           out[i] += sum_j P * B[j]                 (VPU)
 
 The j-grid axis is innermost, so the out block stays resident in VMEM across
-the accumulation.  Used for the hot CP mode-0 precompute
-(cmtf_fun_AOADMM.m:97 equivalent) when shapes tile evenly; callers fall back
-to the einsum path otherwise (ops/tensor.mttkrp).
+the accumulation.
+
+STATUS: experimental kernel baseline, not wired into the solver — on-chip
+A/B showed XLA's einsum path faster for the bench shapes (0.36 vs 0.44 ms),
+so ops/tensor.mttkrp remains the production path.  Kept (with tests) as the
+starting point for further Mosaic tuning.
 """
 from __future__ import annotations
 
@@ -28,9 +31,10 @@ def _kernel(x_ref, b_ref, c_ref, o_ref):
     j = pl.program_id(1)
     TI, TJ, K = x_ref.shape
     R = c_ref.shape[1]
+    acc_dt = o_ref.dtype
     x = x_ref[:].reshape(TI * TJ, K)
-    p = jnp.dot(x, c_ref[:], preferred_element_type=jnp.float32)
-    p = p.reshape(TI, TJ, R) * b_ref[:][None, :, :]
+    p = jnp.dot(x, c_ref[:], preferred_element_type=acc_dt)
+    p = p.reshape(TI, TJ, R) * b_ref[:][None, :, :].astype(acc_dt)
     acc = jnp.sum(p, axis=1)
 
     @pl.when(j == 0)
@@ -69,7 +73,8 @@ def mttkrp3_mode0(X: jnp.ndarray, B: jnp.ndarray, C: jnp.ndarray,
         out_specs=pl.BlockSpec((ti, R), lambda i, j: (i, 0),
                                memory_space=pl.ANY
                                if interpret else pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((I, R), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (I, R), jnp.promote_types(X.dtype, jnp.float32)),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=X.size * X.dtype.itemsize,
             transcendentals=0),

@@ -4,12 +4,13 @@ The reference is serial MATLAB (SURVEY.md §2.3); this module is the
 first-class sharding design the TPU build adds:
 
   * CP/matrix datasets: the data tensor is sharded along its LONGEST mode
-    over the mesh's data axis; factor matrices stay replicated (they are
-    I x R with small R).  XLA partitions the MTTKRP einsum into per-shard
-    partial MTTKRPs and inserts the psum over ICI automatically — exactly
-    the partial-MTTKRP + all-reduce layout of the scaling plan.  The factor
-    of the sharded mode is row-sharded by the same partition, so its update
-    (A/B with a replicated R x R normal matrix) is local.
+    over the mesh's data axis; ALL factor matrices stay replicated (they are
+    I x R with small R, and replication keeps every mode's ALS/ADMM solve
+    local).  XLA partitions the MTTKRP einsum into per-shard partial MTTKRPs
+    and inserts the psum over ICI automatically — the partial-MTTKRP +
+    all-reduce layout of the scaling plan.  (Row-sharding the long mode's
+    factor is a possible refinement; parallel/shard_mttkrp.py shows the
+    explicit collective structure it would pin.)
   * PARAFAC2 datasets: everything carrying a leading K (slice) axis —
     data slices, Bk factor, P, mu_DeltaB, C — is sharded over K; the
     per-slice batched Cholesky/SVD sweep becomes embarrassingly parallel

@@ -222,6 +222,10 @@ def check_data_input(spec: ProblemSpec, data: ProblemData | None = None) -> None
 
     if data is not None:
         for p, ds in enumerate(spec.datasets):
+            if data.miss[p] is not None and ds.loss != "Frobenius":
+                raise ValueError(
+                    "Missing data (miss) is only supported for Frobenius "
+                    "loss functions")  # cmtf_AOADMM.m:71-74
             if isinstance(data.objects[p], SparseTensor):
                 if ds.loss != "Frobenius":
                     raise ValueError(
@@ -262,6 +266,28 @@ def check_data_input(spec: ProblemSpec, data: ProblemData | None = None) -> None
                     raise ValueError(
                         "The tPARAFAC2 constraint can only be imposed on the "
                         "second mode of a PARAFAC2 model")
+                if len(set(spec.mode_sizes[m])) > 1:
+                    raise ValueError(
+                        "tPARAFAC2 requires equal slice sizes (the temporal "
+                        "difference ||B_k - B_{k-1}|| is undefined for "
+                        "ragged slices)")
+        # ragged Bk slices + a row-coupled prox: the padded zero rows would
+        # contaminate the projection (PAVA pooling, simplex mass on padding,
+        # TV segments, ...).  Row-separable and column-norm kinds are safe.
+        if ds.model == PAR2:
+            mB = ds.modes[1]
+            c = spec.constraints[mB] if spec.constraints else None
+            ragged = len(set(spec.mode_sizes[mB])) > 1
+            safe_ragged = {"non-negativity", "box", "l1 regularization",
+                           "l0 regularization", "ridge", "l2-ball",
+                           "l2 regularization", "non-negative l2-ball",
+                           "non-negative l2-sphere", "orthonormal"}
+            if c is not None and ragged and c.kind not in safe_ragged:
+                raise ValueError(
+                    f"Constraint {c.kind!r} on a ragged PARAFAC2 Bk mode is "
+                    "not supported: the projection couples rows and would "
+                    "see the zero padding (use equal slice sizes, or a "
+                    "row-separable / column-norm constraint)")
 
     def rank_of_mode(m):
         return spec.mode_rank(m)

@@ -39,6 +39,63 @@ def test_illconditioned_exit_flag():
     assert np.all(np.isfinite(fv[:max(1, len(fv) - 1)]))
 
 
+def test_validation_missing_nonfrobenius_rejected():
+    from matlab_code_tpu import check_data_input
+    spec = ProblemSpec(
+        mode_sizes=(6, 7, 8),
+        datasets=(DatasetSpec(model="CP", modes=(0, 1, 2), rank=2,
+                              loss="KL"),),
+        coupling=CouplingSpec(lin_coupled_modes=(0, 0, 0), coupling_type=()),
+        constraints=(None,) * 3)
+    data = ProblemData(objects=(jnp.ones((6, 7, 8)),),
+                       miss=(jnp.ones((6, 7, 8), bool),),
+                       coupl_trafo=(None,) * 3, coupl_trafo2=(None,) * 3)
+    import pytest
+    with pytest.raises(ValueError, match="Frobenius"):
+        check_data_input(spec, data)
+
+
+def test_validation_ragged_rowcoupled_constraint_rejected():
+    from matlab_code_tpu import check_data_input
+    import pytest
+    spec = ProblemSpec(
+        mode_sizes=(6, (5, 7), 2),
+        datasets=(DatasetSpec(model="PAR2", modes=(0, 1, 2), rank=2),),
+        coupling=CouplingSpec(lin_coupled_modes=(0, 0, 0), coupling_type=()),
+        constraints=(None, ConstraintSpec("unimodality", (False,)), None))
+    with pytest.raises(ValueError, match="ragged"):
+        check_data_input(spec)
+    # row-separable constraint on ragged Bk stays allowed
+    ok = ProblemSpec(
+        mode_sizes=(6, (5, 7), 2),
+        datasets=(DatasetSpec(model="PAR2", modes=(0, 1, 2), rank=2),),
+        coupling=CouplingSpec(lin_coupled_modes=(0, 0, 0), coupling_type=()),
+        constraints=(None, ConstraintSpec("non-negativity"), None))
+    check_data_input(ok)
+
+
+def test_stepwise_reports_inner_iters():
+    from matlab_code_tpu.models.solver import fit_stepwise
+    spec = ProblemSpec(
+        mode_sizes=(9, 10, 11),
+        datasets=(DatasetSpec(model="CP", modes=(0, 1, 2), rank=2),),
+        coupling=CouplingSpec(lin_coupled_modes=(0, 0, 0), coupling_type=()),
+        constraints=(ConstraintSpec("non-negativity"), None, None))
+    data, _, _, _ = create_coupled_data(
+        spec, lambdas=[[1, 1]], noise=0.02, distr=["rand", "randn", "randn"],
+        rng=2)
+    data, _ = normalize_data(spec, data)
+    init = InitOptions(distr=("rand", "randn", "randn"), normalize=True,
+                       lambdas_init=((1, 1),))
+    st0 = init_coupled(spec, data, init, key=1)
+    st, out = fit_stepwise(spec, data, st0,
+                           AlgOptions(MaxOuterIters=10, AbsFuncTol=0.0,
+                                      OuterRelTol=0.0))
+    assert out.innerIters.shape == (3, 11)
+    # the constrained mode ran inner ADMM iterations
+    assert out.innerIters[0, 1:].max() >= 1
+
+
 def test_same_key_reproducible():
     spec = ProblemSpec(
         mode_sizes=(9, 10, 11),
