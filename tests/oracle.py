@@ -1,0 +1,358 @@
+"""Independent numpy oracle of the reference AO-ADMM recurrences.
+
+A third implementation (after the JAX solver and the C++ kernels), written
+directly from the reference equations (cmtf_fun_AOADMM.m) in plain numpy with
+explicit loops — no code shared with matlab_code_tpu/models.  Used to assert
+exact trajectory equality of the jitted solver on small problems.
+
+Covers the heavily-used paths: CP/matrix datasets, Frobenius loss,
+non-negativity constraints, exact coupling (type 0), and single PARAFAC2
+datasets with nonneg constraints.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def _mttkrp(X, facs, mode):
+    n = X.ndim
+    sub = "abcdef"[:n]
+    rest = [f"{sub[i]}r" for i in range(n) if i != mode]
+    eq = sub + "," + ",".join(rest) + f"->{sub[mode]}r"
+    return np.einsum(eq, X, *[facs[i] for i in range(n) if i != mode],
+                     optimize=True)
+
+
+def _frob(x):
+    return np.linalg.norm(np.asarray(x))
+
+
+class OracleCMTF:
+    """Coupled CP datasets, Frobenius, nonneg-constrained modes, one exact
+    coupling id (or none)."""
+
+    def __init__(self, Xs, modes, weights, constrained, coupled_modes,
+                 state):
+        self.Xs = [np.asarray(x, np.float64) for x in Xs]
+        self.modes = modes                      # list of tuples of global ids
+        self.weights = weights
+        self.constrained = constrained          # set of global mode ids
+        self.coupled = tuple(coupled_modes)     # global ids sharing Delta
+        nb = 1 + max(m for t in modes for m in t)
+        self.nb = nb
+        self.fac = [np.array(state.fac[m], np.float64) for m in range(nb)]
+        self.Z = [np.array(state.constraint_fac[m], np.float64)
+                  if m in constrained else None for m in range(nb)]
+        self.U = [np.array(state.constraint_dual_fac[m], np.float64)
+                  if m in constrained else None for m in range(nb)]
+        if self.coupled:
+            self.Delta = np.array(state.coupling_fac[0], np.float64)
+            self.muD = [np.array(state.coupling_dual_fac[m], np.float64)
+                        if m in self.coupled else None for m in range(nb)]
+        self.grams = [f.T @ f for f in self.fac]
+        self.last_mttkrp = {}
+        self.last_had = {}
+        self.last_m = {}
+
+    def _dataset_of(self, m):
+        for p, t in enumerate(self.modes):
+            if m in t:
+                return p
+        raise KeyError(m)
+
+    def _precompute(self, m):
+        p = self._dataset_of(m)
+        t = self.modes[p]
+        X = self.Xs[p]
+        w = self.weights[p]
+        local = t.index(m)
+        if X.ndim >= 3:
+            A = w * _mttkrp(X, [self.fac[j] for j in t], local)
+            C = np.ones_like(self.grams[m])
+            for j in t:
+                if j != m:
+                    C = C * self.grams[j]
+        else:
+            other = t[1 - local]
+            A = w * (X @ self.fac[other] if local == 0
+                     else X.T @ self.fac[other])
+            C = self.grams[other]
+        rho = np.trace(C) / C.shape[0]
+        B = w * C
+        self.last_mttkrp[p] = A / w
+        self.last_had[p] = C
+        self.last_m[p] = m
+        return A, B, rho
+
+    def _admm_constrained(self, m, A, B, rho, opts):
+        Bc = B + rho / 2 * np.eye(B.shape[0])
+        pr = dr = np.inf
+        it = 1
+        while it <= opts.MaxInnerIters and (
+                pr > opts.innerRelPrTol_constr
+                or dr > opts.innerRelDualTol_constr):
+            Ai = A + rho / 2 * (self.Z[m] - self.U[m])
+            self.fac[m] = np.linalg.solve(Bc.T, Ai.T).T
+            oldZ = self.Z[m]
+            self.Z[m] = np.maximum(self.fac[m] + self.U[m], 0.0)
+            self.U[m] = self.U[m] + self.fac[m] - self.Z[m]
+            pr = _frob(self.fac[m] - self.Z[m]) / _frob(self.fac[m])
+            s = _frob(self.U[m])
+            dr = _frob(self.Z[m] - oldZ) / s if s > 0 else _frob(
+                self.Z[m] - oldZ)
+            it += 1
+
+    def _admm_coupled0(self, pre, opts):
+        cm = self.coupled
+        prk = prc = drk = drc = np.inf
+        it = 1
+        Ls = {}
+        for m in cm:
+            A, B, rho = pre[m]
+            B = B + rho / 2 * np.eye(B.shape[0])
+            if m in self.constrained:
+                B = B + rho / 2 * np.eye(B.shape[0])
+            Ls[m] = B
+        while it <= opts.MaxInnerIters and (
+                prk > opts.innerRelPrTol_coupl
+                or prc > opts.innerRelPrTol_constr
+                or drk > opts.innerRelDualTol_coupl
+                or drc > opts.innerRelDualTol_constr):
+            for m in cm:
+                A, B, rho = pre[m]
+                Ai = A + rho / 2 * (self.Delta - self.muD[m])
+                if m in self.constrained:
+                    Ai = Ai + rho / 2 * (self.Z[m] - self.U[m])
+                self.fac[m] = np.linalg.solve(Ls[m].T, Ai.T).T
+            oldD = self.Delta
+            num = 0.0
+            den = 0.0
+            for m in cm:
+                rho = pre[m][2]
+                num = num + rho * (self.fac[m] + self.muD[m])
+                den = den + rho
+            self.Delta = num / den
+            oldZ = {}
+            for m in cm:
+                self.muD[m] = self.muD[m] + self.fac[m] - self.Delta
+                if m in self.constrained:
+                    oldZ[m] = self.Z[m]
+                    self.Z[m] = np.maximum(self.fac[m] + self.U[m], 0.0)
+                    self.U[m] = self.U[m] + self.fac[m] - self.Z[m]
+            prk = sum(_frob(self.fac[m] - self.Delta) / _frob(self.fac[m])
+                      for m in cm) / len(cm)
+            drk = 0.0
+            for m in cm:
+                s = _frob(self.muD[m])
+                d = _frob(self.Delta - oldD)
+                drk += d / s if s > 0 else d
+            drk /= len(cm)
+            cset = [m for m in cm if m in self.constrained]
+            if cset:
+                prc = sum(_frob(self.fac[m] - self.Z[m]) / _frob(self.fac[m])
+                          for m in cset) / len(cset)
+                drc = 0.0
+                for m in cset:
+                    s = _frob(self.U[m])
+                    d = _frob(self.Z[m] - oldZ[m])
+                    drc += d / s if s > 0 else d
+                drc /= len(cset)
+            else:
+                prc = drc = 0.0
+            it += 1
+
+    def sweep(self, opts):
+        """One outer iteration in the reference order: cid 0 modes (per
+        dataset, mode order), then the coupled group."""
+        for p, t in enumerate(self.modes):
+            for m in t:
+                if m in self.coupled:
+                    continue
+                A, B, rho = self._precompute(m)
+                if m in self.constrained:
+                    self._admm_constrained(m, A, B, rho, opts)
+                else:
+                    self.fac[m] = np.linalg.solve(B.T, A.T).T
+                self.grams[m] = self.fac[m].T @ self.fac[m]
+        if self.coupled:
+            pre = {}
+            for m in self.coupled:
+                pre[m] = self._precompute(m)
+            self._admm_coupled0(pre, opts)
+            for m in self.coupled:
+                self.grams[m] = self.fac[m].T @ self.fac[m]
+
+    def objective(self, znorms):
+        f = 0.0
+        for p, t in enumerate(self.modes):
+            mk = self.last_mttkrp[p]
+            had = self.last_had[p]
+            m = self.last_m[p]
+            f2 = np.sum(mk * self.fac[m])
+            f3 = np.sum(had * self.grams[m])
+            f += self.weights[p] * (znorms[p] - 2 * f2 + f3)
+        # coupling stream
+        fc = 0.0
+        if self.coupled:
+            acc = sum(_frob(self.fac[m] - self.Delta) / _frob(self.fac[m])
+                      for m in self.coupled)
+            fc = acc  # single coupling id; nnz normalization = /1
+        # constraint stream
+        vals = [(_frob(self.fac[m] - self.Z[m]) / _frob(self.fac[m]))
+                for m in range(self.nb) if m in self.constrained]
+        fz = 0.0
+        if vals:
+            arr = np.asarray(vals)
+            nnz = np.sum(arr != 0)
+            fz = arr.sum() / nnz if nnz > 0 else arr.sum()
+        return f, fc, fz
+
+
+class OracleParafac2:
+    """Single uncoupled PARAFAC2 dataset (regular slices), Frobenius,
+    optional nonneg constraints on A/C (Bk unconstrained), per
+    cmtf_fun_AOADMM.m:159-248 and ADMM_B_Parafac2 (:509-589)."""
+
+    def __init__(self, slices, state, weight=1.0):
+        self.X = [np.array(s, np.float64) for s in slices]
+        self.K = len(self.X)
+        self.w = weight
+        self.A = np.array(state.fac[0], np.float64)
+        self.B = [np.array(state.fac[1][k], np.float64)
+                  for k in range(self.K)]
+        self.C = np.array(state.fac[2], np.float64)
+        self.P = [np.array(state.P[0][k], np.float64)
+                  for k in range(self.K)]
+        self.DB = np.array(state.DeltaB[0], np.float64)
+        self.mu = [np.array(state.mu_DeltaB[0][k], np.float64)
+                   for k in range(self.K)]
+        self.ZA = (np.array(state.constraint_fac[0], np.float64)
+                   if state.constraint_fac[0] is not None else None)
+        self.UA = (np.array(state.constraint_dual_fac[0], np.float64)
+                   if state.constraint_dual_fac[0] is not None else None)
+        self.ZC = (np.array(state.constraint_fac[2], np.float64)
+                   if state.constraint_fac[2] is not None else None)
+        self.UC = (np.array(state.constraint_dual_fac[2], np.float64)
+                   if state.constraint_dual_fac[2] is not None else None)
+        self.gramA = self.A.T @ self.A
+        self.gramB = [b.T @ b for b in self.B]
+
+    def sweep(self, opts):
+        R = self.A.shape[1]
+        w = self.w
+        # mode A (cmtf_fun_AOADMM.m:159-190)
+        Am = np.zeros_like(self.A)
+        Cm = np.zeros((R, R))
+        for k in range(self.K):
+            Am += self.X[k] @ self.B[k] @ np.diag(self.C[k])
+            Cm += np.diag(self.C[k]) @ self.gramB[k] @ np.diag(self.C[k])
+        self.last_mttkrp, self.last_had = Am.copy(), Cm.copy()
+        Am = w * Am
+        rho = np.trace(Cm) / R
+        Bm = w * Cm
+        if self.ZA is not None:
+            Bc = Bm + rho / 2 * np.eye(R)
+            pr = dr = np.inf
+            it = 1
+            while it <= opts.MaxInnerIters and (
+                    pr > opts.innerRelPrTol_constr
+                    or dr > opts.innerRelDualTol_constr):
+                Ai = Am + rho / 2 * (self.ZA - self.UA)
+                self.A = np.linalg.solve(Bc.T, Ai.T).T
+                oldZ = self.ZA
+                self.ZA = np.maximum(self.A + self.UA, 0.0)
+                self.UA = self.UA + self.A - self.ZA
+                pr = _frob(self.A - self.ZA) / _frob(self.A)
+                s = _frob(self.UA)
+                dr = _frob(self.ZA - oldZ) / s if s > 0 else _frob(
+                    self.ZA - oldZ)
+                it += 1
+        else:
+            self.A = np.linalg.solve(Bm.T, Am.T).T
+        self.gramA = self.A.T @ self.A
+
+        # mode Bk (:191-218, ADMM :509-589), unconstrained
+        Ak = []
+        rhok = np.zeros(self.K)
+        Lk = []
+        for k in range(self.K):
+            a = w * self.X[k].T @ self.A @ np.diag(self.C[k])
+            c = np.diag(self.C[k]) @ self.gramA @ np.diag(self.C[k])
+            rhok[k] = np.trace(c) / R
+            b = w * c + rhok[k] / 2 * np.eye(R)
+            Ak.append(a)
+            Lk.append(b)
+        prk = drk = np.inf
+        it = 1
+        while it <= opts.MaxInnerIters and (prk > opts.innerRelPrTol_coupl
+                                            or drk > opts.innerRelDualTol_coupl):
+            oldP = [p.copy() for p in self.P]
+            for k in range(self.K):
+                Ai = Ak[k] + rhok[k] / 2 * (self.P[k] @ self.DB - self.mu[k])
+                self.B[k] = np.linalg.solve(Lk[k].T, Ai.T).T
+                Uu, _, Vt = np.linalg.svd(
+                    (self.B[k] + self.mu[k]) @ self.DB.T,
+                    full_matrices=False)
+                self.P[k] = Uu @ Vt
+            oldDB = self.DB
+            num = np.zeros_like(self.DB)
+            for k in range(self.K):
+                num += rhok[k] * self.P[k].T @ (self.B[k] + self.mu[k])
+            self.DB = num / rhok.sum()
+            for k in range(self.K):
+                self.mu[k] = self.mu[k] + self.B[k] - self.P[k] @ self.DB
+            prk = sum(_frob(self.B[k] - self.P[k] @ self.DB)
+                      / _frob(self.B[k]) for k in range(self.K)) / self.K
+            drk = 0.0
+            for k in range(self.K):
+                s = _frob(self.mu[k])
+                d = _frob(oldP[k] @ oldDB - self.P[k] @ self.DB)
+                drk += d / s if s > 0 else d
+            drk /= self.K
+            it += 1
+        self.gramB = [b.T @ b for b in self.B]
+
+        # mode C, row-wise (:219-248)
+        for k in range(self.K):
+            a = w * np.diag(self.A.T @ self.X[k] @ self.B[k])
+            c = self.gramA * self.gramB[k]
+            rk = np.trace(c) / R
+            b = w * c
+            if self.ZC is not None:
+                Lc = b + rk / 2 * np.eye(R)
+                # ADMM handled jointly below; store
+                if k == 0:
+                    As, Ls, rs = [], [], []
+                As.append(a)
+                Ls.append(Lc)
+                rs.append(rk)
+            else:
+                self.C[k] = np.linalg.solve(b, a)
+        if self.ZC is not None:
+            pr = dr = np.inf
+            it = 1
+            while it <= opts.MaxInnerIters and (
+                    pr > opts.innerRelPrTol_constr
+                    or dr > opts.innerRelDualTol_constr):
+                for k in range(self.K):
+                    Ai = As[k] + rs[k] / 2 * (self.ZC[k] - self.UC[k])
+                    self.C[k] = np.linalg.solve(Ls[k], Ai)
+                oldZ = self.ZC
+                self.ZC = np.maximum(self.C + self.UC, 0.0)
+                self.UC = self.UC + self.C - self.ZC
+                pr = _frob(self.C - self.ZC) / _frob(self.C)
+                s = _frob(self.UC)
+                dr = _frob(self.ZC - oldZ) / s if s > 0 else _frob(
+                    self.ZC - oldZ)
+                it += 1
+
+    def objective(self, znorm):
+        # full per-slice residual (last_m == C, cmtf_fun_AOADMM.m:1262-1264)
+        f = 0.0
+        for k in range(self.K):
+            Mk = self.A @ np.diag(self.C[k]) @ self.B[k].T
+            f += np.sum((self.X[k] - Mk) ** 2)
+        f *= self.w
+        fp = sum(_frob(self.B[k] - self.P[k] @ self.DB) / _frob(self.B[k])
+                 for k in range(self.K))
+        return f, fp / self.K

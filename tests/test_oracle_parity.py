@@ -1,0 +1,102 @@
+"""Exact trajectory parity between the jitted solver and the independent
+numpy oracle (tests/oracle.py)."""
+import numpy as np
+import jax.numpy as jnp
+
+from matlab_code_tpu import (
+    ProblemSpec, DatasetSpec, CouplingSpec, ConstraintSpec, AlgOptions,
+    InitOptions)
+from matlab_code_tpu.models.init import init_coupled
+from matlab_code_tpu.models.solver import (
+    fit, build_proxes, compute_znorm_consts)
+from matlab_code_tpu.utils.datagen import create_coupled_data, normalize_data
+from tests.oracle import OracleCMTF, OracleParafac2
+
+
+def test_oracle_parity_coupled_cp():
+    spec = ProblemSpec(
+        mode_sizes=(8, 9, 10, 8, 11),
+        datasets=(DatasetSpec(model="CP", modes=(0, 1, 2), rank=2,
+                              weight=0.5),
+                  DatasetSpec(model="CP", modes=(3, 4), rank=2, weight=0.5)),
+        coupling=CouplingSpec(lin_coupled_modes=(1, 0, 0, 1, 0),
+                              coupling_type=(0,)),
+        constraints=(ConstraintSpec("non-negativity"), None,
+                     ConstraintSpec("non-negativity"),
+                     ConstraintSpec("non-negativity"), None))
+    data, _, _, _ = create_coupled_data(
+        spec, lambdas=[[1, 1], [1, 1]], noise=0.05,
+        distr=["rand", "randn", "rand", "rand", "randn"], rng=6)
+    data, _ = normalize_data(spec, data)
+    init = InitOptions(distr=("rand", "randn", "rand", "rand", "randn"),
+                       normalize=True, lambdas_init=((1, 1), (1, 1)))
+    state0 = init_coupled(spec, data, init, key=5)
+    T = 15
+    opts = AlgOptions(MaxOuterIters=T, AbsFuncTol=0.0, OuterRelTol=0.0)
+
+    state, out = fit(spec, data, state0, opts)
+
+    orc = OracleCMTF(
+        Xs=[np.asarray(data.objects[0]), np.asarray(data.objects[1])],
+        modes=[(0, 1, 2), (3, 4)], weights=[0.5, 0.5],
+        constrained={0, 2, 3}, coupled_modes=(0, 3), state=state0)
+    znorms = [float(z) for z in compute_znorm_consts(spec, data, opts)]
+    traj = []
+    for _ in range(T):
+        orc.sweep(opts)
+        traj.append(orc.objective(znorms))
+    traj = np.asarray(traj)
+
+    np.testing.assert_allclose(out.func_val_conv[1:], traj[:, 0],
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(out.func_coupl_conv[1:], traj[:, 1],
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(out.func_constr_conv[1:], traj[:, 2],
+                               rtol=1e-8, atol=1e-12)
+    # final factors agree elementwise
+    for m in range(5):
+        np.testing.assert_allclose(np.asarray(state.fac[m]), orc.fac[m],
+                                   rtol=1e-8, atol=1e-10)
+
+
+def test_oracle_parity_parafac2():
+    K, J, I, R = 4, 9, 7, 2
+    spec = ProblemSpec(
+        mode_sizes=(I, (J,) * K, K),
+        datasets=(DatasetSpec(model="PAR2", modes=(0, 1, 2), rank=R),),
+        coupling=CouplingSpec(lin_coupled_modes=(0, 0, 0), coupling_type=()),
+        constraints=(ConstraintSpec("non-negativity"), None,
+                     ConstraintSpec("non-negativity")))
+    data, _, _, _ = create_coupled_data(
+        spec, lambdas=[[1, 1]], noise=0.05,
+        distr=["rand", "randn", "rand+0.1"], rng=6)
+    data, _ = normalize_data(spec, data)
+    init = InitOptions(distr=("rand", "randn", "rand+0.1"), normalize=True,
+                       lambdas_init=((1, 1),))
+    state0 = init_coupled(spec, data, init, key=5)
+    T = 12
+    opts = AlgOptions(MaxOuterIters=T, AbsFuncTol=0.0, OuterRelTol=0.0)
+
+    state, out = fit(spec, data, state0, opts)
+
+    slices = [np.asarray(data.objects[0].slices[k]) for k in range(K)]
+    orc = OracleParafac2(slices, state0, weight=1.0)
+    znorm = float(compute_znorm_consts(spec, data, opts)[0])
+    fs, fps = [], []
+    for _ in range(T):
+        orc.sweep(opts)
+        f, fp = orc.objective(znorm)
+        fs.append(f)
+        fps.append(fp)
+
+    np.testing.assert_allclose(out.func_val_conv[1:], fs, rtol=1e-9,
+                               atol=1e-12)
+    np.testing.assert_allclose(out.func_PAR2_coupl[1:], fps, rtol=1e-8,
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(state.fac[0]), orc.A, rtol=1e-8,
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(state.fac[2]), orc.C, rtol=1e-8,
+                               atol=1e-10)
+    for k in range(K):
+        np.testing.assert_allclose(np.asarray(state.fac[1][k]), orc.B[k],
+                                   rtol=1e-7, atol=1e-9)
