@@ -182,7 +182,7 @@ class OracleCMTF:
             for m in self.coupled:
                 self.grams[m] = self.fac[m].T @ self.fac[m]
 
-    def objective(self, znorms):
+    def objective(self, znorms, compute_fc=True):
         f = 0.0
         for p, t in enumerate(self.modes):
             mk = self.last_mttkrp[p]
@@ -191,9 +191,10 @@ class OracleCMTF:
             f2 = np.sum(mk * self.fac[m])
             f3 = np.sum(had * self.grams[m])
             f += self.weights[p] * (znorms[p] - 2 * f2 + f3)
-        # coupling stream
+        # coupling stream (type-0 form; callers with H-couplings pass
+        # compute_fc=False and compute their own)
         fc = 0.0
-        if self.coupled:
+        if self.coupled and compute_fc:
             acc = sum(_frob(self.fac[m] - self.Delta) / _frob(self.fac[m])
                       for m in self.coupled)
             fc = acc  # single coupling id; nnz normalization = /1
@@ -356,3 +357,142 @@ class OracleParafac2:
         fp = sum(_frob(self.B[k] - self.P[k] @ self.DB) / _frob(self.B[k])
                  for k in range(self.K))
         return f, fp / self.K
+
+
+class OracleCoupledH:
+    """Coupled CP datasets with a type-1 (H C = Delta, Sylvester factor
+    solve) or type-4 (C = Delta H) coupling, unconstrained or nonneg,
+    written from cmtf_fun_AOADMM.m:698-769 (case 1) and :904-983 (case 4)."""
+
+    def __init__(self, Xs, modes, weights, ctype, Hs, constrained, state):
+        self.base = OracleCMTF(Xs, modes, weights, constrained,
+                               coupled_modes=tuple(Hs.keys()), state=state)
+        self.ctype = ctype
+        self.Hs = {m: np.asarray(H, np.float64) for m, H in Hs.items()}
+
+    def sweep(self, opts):
+        b = self.base
+        for p, t in enumerate(b.modes):
+            for m in t:
+                if m in b.coupled:
+                    continue
+                A, B, rho = b._precompute(m)
+                if m in b.constrained:
+                    b._admm_constrained(m, A, B, rho, opts)
+                else:
+                    b.fac[m] = np.linalg.solve(B.T, A.T).T
+                b.grams[m] = b.fac[m].T @ b.fac[m]
+        pre = {m: b._precompute(m) for m in b.coupled}
+        self._admm(pre, opts)
+        for m in b.coupled:
+            b.grams[m] = b.fac[m].T @ b.fac[m]
+
+    def _admm(self, pre, opts):
+        from scipy.linalg import solve_sylvester
+        b = self.base
+        cm = b.coupled
+        prk = prc = drk = drc = np.inf
+        it = 1
+        setup = {}
+        for m in cm:
+            A, B, rho = pre[m]
+            H = self.Hs[m]
+            if self.ctype == 1:
+                B2 = rho / 2 * H.T @ H
+                if m in b.constrained:
+                    B2 = B2 + rho / 2 * np.eye(B2.shape[0])
+                setup[m] = ("syl", B2, B)
+            else:  # type 4
+                Bc = B + rho / 2 * np.eye(B.shape[0])
+                if m in b.constrained:
+                    Bc = Bc + rho / 2 * np.eye(B.shape[0])
+                setup[m] = ("chol", Bc, None)
+        while it <= opts.MaxInnerIters and (
+                prk > opts.innerRelPrTol_coupl
+                or prc > opts.innerRelPrTol_constr
+                or drk > opts.innerRelDualTol_coupl
+                or drc > opts.innerRelDualTol_constr):
+            for m in cm:
+                A, B, rho = pre[m]
+                H = self.Hs[m]
+                if self.ctype == 1:
+                    Ai = A + rho / 2 * H.T @ (b.Delta - b.muD[m])
+                    if m in b.constrained:
+                        Ai = Ai + rho / 2 * (b.Z[m] - b.U[m])
+                    kind, B2, Bb = setup[m]
+                    b.fac[m] = solve_sylvester(B2, Bb, Ai)
+                else:
+                    Ai = A + rho / 2 * (b.Delta @ H - b.muD[m])
+                    if m in b.constrained:
+                        Ai = Ai + rho / 2 * (b.Z[m] - b.U[m])
+                    b.fac[m] = np.linalg.solve(setup[m][1].T, Ai.T).T
+            oldD = b.Delta
+            if self.ctype == 1:
+                num = 0.0
+                den = 0.0
+                for m in cm:
+                    rho = pre[m][2]
+                    num = num + rho * (self.Hs[m] @ b.fac[m] + b.muD[m])
+                    den = den + rho
+                b.Delta = num / den
+            else:
+                AA = 0.0
+                BB = 0.0
+                for m in cm:
+                    rho = pre[m][2]
+                    H = self.Hs[m]
+                    AA = AA + rho * H @ H.T
+                    BB = BB + rho * (b.fac[m] + b.muD[m]) @ H.T
+                b.Delta = np.linalg.solve(AA.T, BB.T).T
+            oldZ = {}
+            for m in cm:
+                H = self.Hs[m]
+                if self.ctype == 1:
+                    b.muD[m] = b.muD[m] + H @ b.fac[m] - b.Delta
+                else:
+                    b.muD[m] = b.muD[m] + b.fac[m] - b.Delta @ H
+                if m in b.constrained:
+                    oldZ[m] = b.Z[m]
+                    b.Z[m] = np.maximum(b.fac[m] + b.U[m], 0.0)
+                    b.U[m] = b.U[m] + b.fac[m] - b.Z[m]
+            # residuals
+            prk = drk = 0.0
+            for m in cm:
+                H = self.Hs[m]
+                if self.ctype == 1:
+                    t_ = H @ b.fac[m]
+                    prk += _frob(t_ - b.Delta) / _frob(t_)
+                    d = _frob(b.Delta - oldD)
+                else:
+                    prk += _frob(b.fac[m] - b.Delta @ H) / _frob(b.fac[m])
+                    d = _frob((b.Delta - oldD) @ H)
+                s = _frob(b.muD[m])
+                drk += d / s if s > 0 else d
+            prk /= len(cm)
+            drk /= len(cm)
+            cset = [m for m in cm if m in b.constrained]
+            if cset:
+                prc = sum(_frob(b.fac[m] - b.Z[m]) / _frob(b.fac[m])
+                          for m in cset) / len(cset)
+                drc = 0.0
+                for m in cset:
+                    s = _frob(b.U[m])
+                    d = _frob(b.Z[m] - oldZ[m])
+                    drc += d / s if s > 0 else d
+                drc /= len(cset)
+            else:
+                prc = drc = 0.0
+            it += 1
+
+    def objective(self, znorms):
+        b = self.base
+        f, _, fz = b.objective(znorms, compute_fc=False)
+        acc = 0.0
+        for m in b.coupled:
+            H = self.Hs[m]
+            if self.ctype == 1:
+                t_ = H @ b.fac[m]
+                acc += _frob(t_ - b.Delta) / _frob(t_)
+            else:
+                acc += _frob(b.fac[m] - b.Delta @ H) / _frob(b.fac[m])
+        return f, acc, fz

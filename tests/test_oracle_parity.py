@@ -100,3 +100,75 @@ def test_oracle_parity_parafac2():
     for k in range(K):
         np.testing.assert_allclose(np.asarray(state.fac[1][k]), orc.B[k],
                                    rtol=1e-7, atol=1e-9)
+
+
+def _coupled_H_problem(ctype):
+    import numpy as np
+    if ctype == 1:
+        n1, n2 = 12, 6
+        H_a = np.zeros((n2, n1))
+        for i in range(n2):
+            H_a[i, 2 * i] = 1.0
+        H_b = np.eye(n2)
+        sizes = (n1, 7, 8, n2, 9)
+        Hs = {0: H_a, 3: H_b}
+    else:  # type 4 selector
+        R1 = 2
+        H_a = np.eye(2, R1)
+        H_b = np.eye(2, R1)
+        sizes = (10, 7, 8, 10, 9)
+        Hs = {0: H_a, 3: H_b}
+    spec = ProblemSpec(
+        mode_sizes=sizes,
+        datasets=(DatasetSpec(model="CP", modes=(0, 1, 2), rank=2,
+                              weight=0.5),
+                  DatasetSpec(model="CP", modes=(3, 4), rank=2, weight=0.5)),
+        coupling=CouplingSpec(lin_coupled_modes=(1, 0, 0, 1, 0),
+                              coupling_type=(ctype,)),
+        constraints=(ConstraintSpec("non-negativity"), None, None,
+                     ConstraintSpec("non-negativity"), None))
+    return spec, Hs
+
+
+def _run_parity_H(ctype):
+    import numpy as np
+    from tests.oracle import OracleCoupledH
+    spec, Hs = _coupled_H_problem(ctype)
+    trafo = [Hs.get(m) for m in range(5)]
+    data, _, _, _ = create_coupled_data(
+        spec, lambdas=[[1, 1], [1, 1]], noise=0.05,
+        distr=["rand", "randn", "randn", "rand", "randn"],
+        coupl_trafo=trafo, rng=6)
+    data, _ = normalize_data(spec, data)
+    init = InitOptions(distr=("rand", "randn", "randn", "rand", "randn"),
+                       normalize=True, lambdas_init=((1, 1), (1, 1)))
+    state0 = init_coupled(spec, data, init, key=5)
+    T = 12
+    opts = AlgOptions(MaxOuterIters=T, AbsFuncTol=0.0, OuterRelTol=0.0)
+    state, out = fit(spec, data, state0, opts)
+
+    orc = OracleCoupledH(
+        Xs=[np.asarray(data.objects[0]), np.asarray(data.objects[1])],
+        modes=[(0, 1, 2), (3, 4)], weights=[0.5, 0.5], ctype=ctype,
+        Hs=Hs, constrained={0, 3}, state=state0)
+    znorms = [float(z) for z in compute_znorm_consts(spec, data, opts)]
+    traj = []
+    for _ in range(T):
+        orc.sweep(opts)
+        traj.append(orc.objective(znorms))
+    traj = np.asarray(traj)
+    np.testing.assert_allclose(out.func_val_conv[1:], traj[:, 0],
+                               rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(out.func_coupl_conv[1:], traj[:, 1],
+                               rtol=1e-7, atol=1e-11)
+    for m in range(5):
+        np.testing.assert_allclose(np.asarray(state.fac[m]),
+                                   orc.base.fac[m], rtol=1e-7, atol=1e-9)
+
+
+def test_oracle_parity_type1_sylvester():
+    _run_parity_H(1)
+
+
+def test_oracle_parity_type4():
+    _run_parity_H(4)
