@@ -402,6 +402,11 @@ class OracleCoupledH:
                 if m in b.constrained:
                     B2 = B2 + rho / 2 * np.eye(B2.shape[0])
                 setup[m] = ("syl", B2, B)
+            elif self.ctype == 2:
+                Bc = B + rho / 2 * H @ H.T
+                if m in b.constrained:
+                    Bc = Bc + rho / 2 * np.eye(B.shape[0])
+                setup[m] = ("chol", Bc, None)
             else:  # type 4
                 Bc = B + rho / 2 * np.eye(B.shape[0])
                 if m in b.constrained:
@@ -421,6 +426,11 @@ class OracleCoupledH:
                         Ai = Ai + rho / 2 * (b.Z[m] - b.U[m])
                     kind, B2, Bb = setup[m]
                     b.fac[m] = solve_sylvester(B2, Bb, Ai)
+                elif self.ctype == 2:
+                    Ai = A + rho / 2 * (b.Delta - b.muD[m]) @ H.T
+                    if m in b.constrained:
+                        Ai = Ai + rho / 2 * (b.Z[m] - b.U[m])
+                    b.fac[m] = np.linalg.solve(setup[m][1].T, Ai.T).T
                 else:
                     Ai = A + rho / 2 * (b.Delta @ H - b.muD[m])
                     if m in b.constrained:
@@ -433,6 +443,14 @@ class OracleCoupledH:
                 for m in cm:
                     rho = pre[m][2]
                     num = num + rho * (self.Hs[m] @ b.fac[m] + b.muD[m])
+                    den = den + rho
+                b.Delta = num / den
+            elif self.ctype == 2:
+                num = 0.0
+                den = 0.0
+                for m in cm:
+                    rho = pre[m][2]
+                    num = num + rho * (b.fac[m] @ self.Hs[m] + b.muD[m])
                     den = den + rho
                 b.Delta = num / den
             else:
@@ -449,6 +467,8 @@ class OracleCoupledH:
                 H = self.Hs[m]
                 if self.ctype == 1:
                     b.muD[m] = b.muD[m] + H @ b.fac[m] - b.Delta
+                elif self.ctype == 2:
+                    b.muD[m] = b.muD[m] + b.fac[m] @ H - b.Delta
                 else:
                     b.muD[m] = b.muD[m] + b.fac[m] - b.Delta @ H
                 if m in b.constrained:
@@ -461,6 +481,10 @@ class OracleCoupledH:
                 H = self.Hs[m]
                 if self.ctype == 1:
                     t_ = H @ b.fac[m]
+                    prk += _frob(t_ - b.Delta) / _frob(t_)
+                    d = _frob(b.Delta - oldD)
+                elif self.ctype == 2:
+                    t_ = b.fac[m] @ H
                     prk += _frob(t_ - b.Delta) / _frob(t_)
                     d = _frob(b.Delta - oldD)
                 else:
@@ -493,6 +517,134 @@ class OracleCoupledH:
             if self.ctype == 1:
                 t_ = H @ b.fac[m]
                 acc += _frob(t_ - b.Delta) / _frob(t_)
+            elif self.ctype == 2:
+                t_ = b.fac[m] @ H
+                acc += _frob(t_ - b.Delta) / _frob(t_)
             else:
                 acc += _frob(b.fac[m] - b.Delta @ H) / _frob(b.fac[m])
+        return f, acc, fz
+
+
+class OracleCoupledH2(OracleCoupledH):
+    """Type-3 (C = H Delta) and type-5 (H1 C = Delta H2) coupled ADMM,
+    from cmtf_fun_AOADMM.m:838-901 (case 3) and :986-1075 (case 5) —
+    including case 5's leftover-loop-variable rho quirk (:1032)."""
+
+    def __init__(self, Xs, modes, weights, ctype, Hs, H2s, constrained,
+                 state):
+        super().__init__(Xs, modes, weights, ctype, Hs, constrained, state)
+        self.H2s = {m: np.asarray(H, np.float64)
+                    for m, H in (H2s or {}).items()}
+
+    def _admm(self, pre, opts):
+        from scipy.linalg import solve_sylvester
+        b = self.base
+        cm = b.coupled
+        prk = prc = drk = drc = np.inf
+        it = 1
+        setup = {}
+        for m in cm:
+            A, B, rho = pre[m]
+            H = self.Hs[m]
+            if self.ctype == 5:
+                B2 = rho / 2 * H.T @ H
+                if m in b.constrained:
+                    B2 = B2 + rho / 2 * np.eye(B2.shape[0])
+                setup[m] = ("syl", B2, B)
+            else:  # type 3
+                Bc = B + rho / 2 * np.eye(B.shape[0])
+                if m in b.constrained:
+                    Bc = Bc + rho / 2 * np.eye(B.shape[0])
+                setup[m] = ("chol", Bc, None)
+        while it <= opts.MaxInnerIters and (
+                prk > opts.innerRelPrTol_coupl
+                or prc > opts.innerRelPrTol_constr
+                or drk > opts.innerRelDualTol_coupl
+                or drc > opts.innerRelDualTol_constr):
+            for m in cm:
+                A, B, rho = pre[m]
+                H = self.Hs[m]
+                if self.ctype == 5:
+                    H2 = self.H2s[m]
+                    Ai = A + rho / 2 * H.T @ (b.Delta @ H2 - b.muD[m])
+                    if m in b.constrained:
+                        Ai = Ai + rho / 2 * (b.Z[m] - b.U[m])
+                    b.fac[m] = solve_sylvester(setup[m][1], setup[m][2], Ai)
+                else:
+                    Ai = A + rho / 2 * (H @ b.Delta - b.muD[m])
+                    if m in b.constrained:
+                        Ai = Ai + rho / 2 * (b.Z[m] - b.U[m])
+                    b.fac[m] = np.linalg.solve(setup[m][1].T, Ai.T).T
+            oldD = b.Delta
+            if self.ctype == 3:
+                AA = 0.0
+                BB = 0.0
+                for m in cm:
+                    rho = pre[m][2]
+                    H = self.Hs[m]
+                    AA = AA + H.T @ (rho * H)
+                    BB = BB + H.T @ (rho * (b.fac[m] + b.muD[m]))
+                b.Delta = np.linalg.solve(AA, BB)
+            else:
+                # case 5: rhoC = mean(rho of the LAST coupled mode) for every
+                # term (reference leftover-variable quirk, :1032)
+                rhoC = pre[cm[-1]][2]
+                AA = 0.0
+                BB = 0.0
+                for m in cm:
+                    H, H2 = self.Hs[m], self.H2s[m]
+                    AA = AA + rhoC * H2 @ H2.T
+                    BB = BB + rhoC * (H @ b.fac[m] + b.muD[m]) @ H2.T
+                b.Delta = np.linalg.solve(AA.T, BB.T).T
+            oldZ = {}
+            for m in cm:
+                H = self.Hs[m]
+                if self.ctype == 5:
+                    b.muD[m] = (b.muD[m] + H @ b.fac[m]
+                                - b.Delta @ self.H2s[m])
+                else:
+                    b.muD[m] = b.muD[m] + b.fac[m] - H @ b.Delta
+                if m in b.constrained:
+                    oldZ[m] = b.Z[m]
+                    b.Z[m] = np.maximum(b.fac[m] + b.U[m], 0.0)
+                    b.U[m] = b.U[m] + b.fac[m] - b.Z[m]
+            prk = drk = 0.0
+            for m in cm:
+                H = self.Hs[m]
+                if self.ctype == 5:
+                    gap = H @ b.fac[m] - b.Delta @ self.H2s[m]
+                    prk += _frob(gap) / _frob(b.fac[m])
+                    d = _frob((b.Delta - oldD) @ self.H2s[m])
+                else:
+                    prk += _frob(b.fac[m] - H @ b.Delta) / _frob(b.fac[m])
+                    d = _frob(H @ (b.Delta - oldD))
+                s = _frob(b.muD[m])
+                drk += d / s if s > 0 else d
+            prk /= len(cm)
+            drk /= len(cm)
+            cset = [m for m in cm if m in b.constrained]
+            if cset:
+                prc = sum(_frob(b.fac[m] - b.Z[m]) / _frob(b.fac[m])
+                          for m in cset) / len(cset)
+                drc = 0.0
+                for m in cset:
+                    s = _frob(b.U[m])
+                    d = _frob(b.Z[m] - oldZ[m])
+                    drc += d / s if s > 0 else d
+                drc /= len(cset)
+            else:
+                prc = drc = 0.0
+            it += 1
+
+    def objective(self, znorms):
+        b = self.base
+        f, _, fz = b.objective(znorms, compute_fc=False)
+        acc = 0.0
+        for m in b.coupled:
+            H = self.Hs[m]
+            if self.ctype == 5:
+                t_ = H @ b.fac[m]
+                acc += _frob(t_ - b.Delta @ self.H2s[m]) / _frob(t_)
+            else:
+                acc += _frob(b.fac[m] - H @ b.Delta) / _frob(b.fac[m])
         return f, acc, fz

@@ -172,3 +172,117 @@ def test_oracle_parity_type1_sylvester():
 
 def test_oracle_parity_type4():
     _run_parity_H(4)
+
+
+def _run_parity_H2(ctype):
+    import numpy as np
+    from tests.oracle import OracleCoupledH2
+    if ctype == 3:
+        Hs = {0: np.random.default_rng(1).standard_normal((10, 5)),
+              3: np.random.default_rng(2).standard_normal((10, 5))}
+        H2s = {}
+        sizes = (10, 7, 8, 10, 9)
+        R1 = R2 = 2
+    else:  # 5 — example-13 geometry: the larger coupled mode is dataset 2's
+        n1, n2 = 6, 12
+        H_b = np.zeros((n1, n2))
+        for i in range(n1):
+            H_b[i, 2 * i] = 1.0
+        Hs = {0: np.eye(n1), 3: H_b}
+        R1, R2 = 3, 2
+        H2s = {0: np.eye(R1, R1), 3: np.vstack([np.eye(R2),
+                                                np.zeros((R1 - R2, R2))])}
+        sizes = (n1, 7, 8, n2, 9)
+    spec = ProblemSpec(
+        mode_sizes=sizes,
+        datasets=(DatasetSpec(model="CP", modes=(0, 1, 2), rank=R1,
+                              weight=0.5),
+                  DatasetSpec(model="CP", modes=(3, 4), rank=R2, weight=0.5)),
+        coupling=CouplingSpec(lin_coupled_modes=(1, 0, 0, 1, 0),
+                              coupling_type=(ctype,)),
+        constraints=(ConstraintSpec("non-negativity"), None, None,
+                     ConstraintSpec("non-negativity"), None))
+    trafo = [Hs.get(m) for m in range(5)]
+    trafo2 = [H2s.get(m) for m in range(5)] if H2s else None
+    data, _, _, _ = create_coupled_data(
+        spec, lambdas=[[1] * R1, [1] * R2], noise=0.05,
+        distr=["rand", "randn", "randn", "rand", "randn"],
+        coupl_trafo=trafo, coupl_trafo2=trafo2, rng=6)
+    data, _ = normalize_data(spec, data)
+    init = InitOptions(distr=("rand", "randn", "randn", "rand", "randn"),
+                       normalize=True,
+                       lambdas_init=((1,) * R1, (1,) * R2))
+    delta_shapes = {1: (n1, R1)} if ctype == 5 else None
+    state0 = init_coupled(spec, data, init, key=5,
+                          delta_shapes=delta_shapes)
+    T = 10
+    opts = AlgOptions(MaxOuterIters=T, AbsFuncTol=0.0, OuterRelTol=0.0)
+    state, out = fit(spec, data, state0, opts)
+
+    orc = OracleCoupledH2(
+        Xs=[np.asarray(data.objects[0]), np.asarray(data.objects[1])],
+        modes=[(0, 1, 2), (3, 4)], weights=[0.5, 0.5], ctype=ctype,
+        Hs=Hs, H2s=H2s or None, constrained={0, 3}, state=state0)
+    znorms = [float(z) for z in compute_znorm_consts(spec, data, opts)]
+    traj = []
+    for _ in range(T):
+        orc.sweep(opts)
+        traj.append(orc.objective(znorms))
+    traj = np.asarray(traj)
+    np.testing.assert_allclose(out.func_val_conv[1:], traj[:, 0],
+                               rtol=1e-7, atol=1e-11)
+    np.testing.assert_allclose(out.func_coupl_conv[1:], traj[:, 1],
+                               rtol=1e-6, atol=1e-10)
+    for m in range(5):
+        np.testing.assert_allclose(np.asarray(state.fac[m]),
+                                   orc.base.fac[m], rtol=1e-6, atol=1e-8)
+
+
+def test_oracle_parity_type3():
+    _run_parity_H2(3)
+
+
+def test_oracle_parity_type5_quirk():
+    _run_parity_H2(5)
+
+
+def test_oracle_parity_type2():
+    import numpy as np
+    from tests.oracle import OracleCoupledH
+    rng = np.random.default_rng(3)
+    H_a = rng.standard_normal((2, 2)) + 2 * np.eye(2)
+    H_b = rng.standard_normal((2, 2)) + 2 * np.eye(2)
+    Hs = {0: H_a, 3: H_b}
+    spec = ProblemSpec(
+        mode_sizes=(10, 7, 8, 10, 9),
+        datasets=(DatasetSpec(model="CP", modes=(0, 1, 2), rank=2,
+                              weight=0.5),
+                  DatasetSpec(model="CP", modes=(3, 4), rank=2, weight=0.5)),
+        coupling=CouplingSpec(lin_coupled_modes=(1, 0, 0, 1, 0),
+                              coupling_type=(2,)),
+        constraints=(None,) * 5)
+    data, _, _, _ = create_coupled_data(
+        spec, lambdas=[[1, 1], [1, 1]], noise=0.05,
+        distr=["randn"] * 5, coupl_trafo=[H_a, None, None, H_b, None],
+        rng=6)
+    data, _ = normalize_data(spec, data)
+    init = InitOptions(distr=("randn",) * 5, normalize=True,
+                       lambdas_init=((1, 1), (1, 1)))
+    state0 = init_coupled(spec, data, init, key=5)
+    T = 10
+    opts = AlgOptions(MaxOuterIters=T, AbsFuncTol=0.0, OuterRelTol=0.0)
+    state, out = fit(spec, data, state0, opts)
+    orc = OracleCoupledH(
+        Xs=[np.asarray(data.objects[0]), np.asarray(data.objects[1])],
+        modes=[(0, 1, 2), (3, 4)], weights=[0.5, 0.5], ctype=2, Hs=Hs,
+        constrained=set(), state=state0)
+    znorms = [float(z) for z in compute_znorm_consts(spec, data, opts)]
+    traj = []
+    for _ in range(T):
+        orc.sweep(opts)
+        traj.append(orc.objective(znorms))
+    traj = np.asarray(traj)
+    np.testing.assert_allclose(out.func_val_conv[1:], traj[:, 0],
+                               rtol=1e-7, atol=1e-11)
+    np.testing.assert_allclose(out.func_coupl_conv[1:], traj[:, 1],
+                               rtol=1e-6, atol=1e-10)
