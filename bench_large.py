@@ -1,0 +1,126 @@
+"""Production-scale benchmark: rank-64 triple fusion with a 0.5 GB tensor,
+plus vmapped multi-start throughput (whole fits in parallel on one chip).
+
+Supplementary to bench.py (the driver's headline metric); prints one JSON
+line per experiment.
+"""
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from matlab_code_tpu import (
+    ProblemSpec, DatasetSpec, CouplingSpec, ConstraintSpec, AlgOptions,
+    InitOptions)
+from matlab_code_tpu.models.init import init_coupled
+from matlab_code_tpu.models.solver import (
+    build_proxes, make_outer_step, init_cache)
+
+
+def large_problem(I=256, J1=1024, J2=512, M1=8192, R=64):
+    spec = ProblemSpec(
+        mode_sizes=(I, J1, J2, I, M1),
+        datasets=(
+            DatasetSpec(model="CP", modes=(0, 1, 2), rank=R, weight=0.5),
+            DatasetSpec(model="CP", modes=(3, 4), rank=R, weight=0.5)),
+        coupling=CouplingSpec(lin_coupled_modes=(1, 0, 0, 1, 0),
+                              coupling_type=(0,)),
+        constraints=tuple(ConstraintSpec("non-negativity")
+                          for _ in range(5)))
+    rng = np.random.default_rng(0)
+    dt = jnp.result_type(float)
+    facs = [rng.uniform(size=(s, R)).astype(dt) for s in spec.mode_sizes]
+    X1 = np.einsum("ir,jr,kr->ijk", facs[0], facs[1], facs[2])
+    X2 = facs[3] @ facs[4].T
+    from matlab_code_tpu.problem import ProblemData
+    data = ProblemData(objects=(jnp.asarray(X1), jnp.asarray(X2)),
+                       coupl_trafo=(None,) * 5, coupl_trafo2=(None,) * 5)
+    opts = AlgOptions(MaxOuterIters=10, MaxInnerIters=5)
+    init = InitOptions(distr=("rand",) * 5, normalize=True,
+                       lambdas_init=((1,) * R,) * 2)
+    state = init_coupled(spec, data, init, key=1)
+    return spec, data, state, opts
+
+
+def run_iters(spec, data, state, opts, n_iters):
+    proxes, reg_fns = build_proxes(spec)
+    step = make_outer_step(spec, opts, proxes, reg_fns, True)
+    grams, colnorms = init_cache(spec, state)
+
+    @jax.jit
+    def n_steps(state, data, grams, colnorms):
+        def body(i, c):
+            s, g, cn = c
+            s, g, cn, *_ = step(s, data, g, cn)
+            return (s, g, cn)
+        return jax.lax.fori_loop(0, n_iters, body, (state, grams, colnorms))
+
+    out = n_steps(state, data, grams, colnorms)
+    np.asarray(out[0].fac[0])
+    best = np.inf
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = n_steps(state, data, grams, colnorms)
+        np.asarray(out[0].fac[0])
+        best = min(best, (time.perf_counter() - t0) / n_iters)
+    assert bool(jnp.all(jnp.isfinite(out[0].fac[0])))
+    return 1.0 / best
+
+
+def multistart_throughput(n_starts=8, iters=20):
+    """Whole fits batched with vmap — fits/sec on one chip."""
+    from matlab_code_tpu.utils.datagen import create_coupled_data
+    spec = ProblemSpec(
+        mode_sizes=(64, 128, 96),
+        datasets=(DatasetSpec(model="CP", modes=(0, 1, 2), rank=8),),
+        coupling=CouplingSpec(lin_coupled_modes=(0, 0, 0), coupling_type=()),
+        constraints=(ConstraintSpec("non-negativity"), None, None))
+    data, _, _, _ = create_coupled_data(
+        spec, lambdas=[[1] * 8], noise=0.01,
+        distr=["rand", "randn", "randn"], rng=0)
+    init = InitOptions(distr=("rand", "randn", "randn"), normalize=True,
+                       lambdas_init=((1,) * 8,))
+    states = [init_coupled(spec, data, init, key=k) for k in range(n_starts)]
+    batched = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+    proxes, reg_fns = build_proxes(spec)
+    step = make_outer_step(spec, AlgOptions(MaxOuterIters=iters), proxes,
+                           reg_fns, True)
+
+    def one(state, data):
+        grams, colnorms = init_cache(spec, state)
+
+        def body(i, c):
+            s, g, cn = c
+            s, g, cn, *_ = step(s, data, g, cn)
+            return (s, g, cn)
+        return jax.lax.fori_loop(0, iters, body, (state, grams, colnorms))[0]
+
+    run = jax.jit(jax.vmap(one, in_axes=(0, None)))
+    out = run(batched, data)
+    np.asarray(out.fac[0])
+    t0 = time.perf_counter()
+    out = run(batched, data)
+    np.asarray(out.fac[0])
+    dt = time.perf_counter() - t0
+    return n_starts * iters / dt, n_starts / dt
+
+
+def main():
+    spec, data, state, opts = large_problem()
+    it_s = run_iters(spec, data, state, opts, 10)
+    gb = sum(np.asarray(data.objects[p]).nbytes for p in range(2)) / 1e9
+    print(f"# large workload: {gb:.2f} GB data, rank 64")
+    print(json.dumps({"metric": "aoadmm_iters_per_s_large_r64",
+                      "value": round(it_s, 2), "unit": "outer_iters/s",
+                      "vs_baseline": None}))
+    tot, fits = multistart_throughput()
+    print(json.dumps({"metric": "multistart_sweeps_per_s",
+                      "value": round(tot, 1),
+                      "unit": "start-iterations/s (8 parallel fits)",
+                      "vs_baseline": None}))
+
+
+if __name__ == "__main__":
+    main()
