@@ -648,3 +648,42 @@ class OracleCoupledH2(OracleCoupledH):
             else:
                 acc += _frob(b.fac[m] - H @ b.Delta) / _frob(b.fac[m])
         return f, acc, fz
+
+
+class OracleMissingEM(OracleCMTF):
+    """Single uncoupled CP dataset with missing entries + EM imputation,
+    from cmtf_fun_AOADMM.m:408-441 (mask True = observed)."""
+
+    def __init__(self, X, mask, modes, constrained, state):
+        super().__init__([X], [tuple(modes)], [1.0], constrained,
+                         coupled_modes=(), state=state)
+        self.mask = np.asarray(mask, bool)
+
+    def em_step(self):
+        t = self.modes[0]
+        facs = [self.fac[m] for m in t]
+        sub = "abcdef"[:len(t)]
+        eq = ",".join(f"{s}r" for s in sub) + "->" + sub
+        M = np.einsum(eq, *facs, optimize=True)
+        X = self.Xs[0]
+        miss = ~self.mask
+        old = X[miss]
+        new = M[miss]
+        num = np.sum((new - old) ** 2)
+        den = np.sum(old ** 2)
+        X[miss] = new
+        return np.sqrt(num / den) if den > 0 else np.sqrt(num)
+
+    def sweep_em(self, opts):
+        self.sweep(opts)
+        return self.em_step()
+
+    def objective_missing(self, znorm):
+        """Masked objective (cmtf_fun_AOADMM.m:1224-1226)."""
+        t = self.modes[0]
+        facs = [self.fac[m] for m in t]
+        sub = "abcdef"[:len(t)]
+        eq = ",".join(f"{s}r" for s in sub) + "->" + sub
+        M = np.where(self.mask, np.einsum(eq, *facs, optimize=True), 0.0)
+        X = self.Xs[0]
+        return znorm - 2 * np.sum(X * M) + np.sum(M * M)

@@ -286,3 +286,47 @@ def test_oracle_parity_type2():
                                rtol=1e-7, atol=1e-11)
     np.testing.assert_allclose(out.func_coupl_conv[1:], traj[:, 1],
                                rtol=1e-6, atol=1e-10)
+
+
+def test_oracle_parity_missing_em():
+    import numpy as np
+    import jax.numpy as jnp
+    import dataclasses
+    from tests.oracle import OracleMissingEM
+    spec = ProblemSpec(
+        mode_sizes=(9, 10, 11),
+        datasets=(DatasetSpec(model="CP", modes=(0, 1, 2), rank=2),),
+        coupling=CouplingSpec(lin_coupled_modes=(0, 0, 0), coupling_type=()),
+        constraints=(ConstraintSpec("non-negativity"), None, None))
+    data, _, _, _ = create_coupled_data(
+        spec, lambdas=[[1, 1]], noise=0.03, distr=["rand", "randn", "randn"],
+        rng=8)
+    data, _ = normalize_data(spec, data)
+    rng = np.random.default_rng(4)
+    mask = rng.uniform(size=(9, 10, 11)) > 0.25
+    X0 = np.asarray(data.objects[0])
+    data = dataclasses.replace(
+        data, objects=(jnp.asarray(np.where(mask, X0, 0.0)),),
+        miss=(jnp.asarray(mask),))
+    init = InitOptions(distr=("rand", "randn", "randn"), normalize=True,
+                       lambdas_init=((1, 1),))
+    state0 = init_coupled(spec, data, init, key=3)
+    T = 12
+    opts = AlgOptions(MaxOuterIters=T, AbsFuncTol=0.0, OuterRelTol=0.0)
+    state, out = fit(spec, data, state0, opts)
+
+    orc = OracleMissingEM(np.where(mask, X0, 0.0), mask, (0, 1, 2),
+                          constrained={0}, state=state0)
+    znorm = float(np.sum(np.where(mask, X0, 0.0) ** 2))
+    fs, frs = [], []
+    for _ in range(T):
+        fr = orc.sweep_em(opts)
+        fs.append(orc.objective_missing(znorm))
+        frs.append(fr)
+    np.testing.assert_allclose(out.func_val_conv[1:], fs, rtol=1e-8,
+                               atol=1e-12)
+    np.testing.assert_allclose(out.func_rel_missing[1:], frs, rtol=1e-8,
+                               atol=1e-12)
+    for m in range(3):
+        np.testing.assert_allclose(np.asarray(state.fac[m]), orc.fac[m],
+                                   rtol=1e-7, atol=1e-9)
