@@ -7,6 +7,13 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
+
+if jax.default_backend() == "cpu":
+    # the reference is float64 with 1e-7..1e-14 tolerances; match it on CPU
+    # (TPU runs keep the f32 default)
+    jax.config.update("jax_enable_x64", True)
+
 from matlab_code_tpu import (
     ProblemSpec, DatasetSpec, CouplingSpec, ConstraintSpec, AlgOptions,
     InitOptions, cmtf_aoadmm)
