@@ -106,7 +106,7 @@ def admm_constrained_only(spec: ProblemSpec, state: SolverState, m: int, p: int,
     inf = jnp.inf
     init = (state, jnp.int32(1), jnp.asarray(inf), jnp.asarray(inf), jnp.int32(0))
     state, it, pr, dr, lb = lax.while_loop(cond, body, init)
-    return state, it - 1, lb
+    return state, it - 1, lb, (pr, dr)
 
 
 # ---------------------------------------------------------------------------
@@ -116,14 +116,17 @@ def admm_constrained_only(spec: ProblemSpec, state: SolverState, m: int, p: int,
 
 def admm_b_parafac2(spec: ProblemSpec, state: SolverState, m: int, p: int,
                     A, L, rho, options, proxes, constraint_active: bool,
-                    bmask=None):
+                    sizes=None):
     """The PARAFAC2-specific inner loop, batched over slices.
 
-    A: (K, Jmax, R); L: (K, R, R); rho: (K,).  bmask: (K, Jmax) or None —
-    ragged-slice row mask applied after the prox step to keep padding zero.
+    A: (K, Jmax, R); L: (K, R, R); rho: (K,).  sizes: static tuple of the
+    true slice sizes J_k, or None for regular (equal-size) slices — ragged
+    slices get the size-bucketed prox so row-coupled projections never see
+    the zero padding.
     """
     K = spec.par2_K(p)
     constrained = spec.is_constrained(m) and constraint_active
+    ragged = sizes is not None and len(set(sizes)) > 1
     if constrained:
         kind = spec.constraints[m].kind
         upd_joint = kind == "tPARAFAC2"
@@ -165,10 +168,11 @@ def admm_b_parafac2(spec: ProblemSpec, state: SolverState, m: int, p: int,
             oldZ = state.constraint_fac[m]
             if upd_joint:
                 Z = prox(facB + state.constraint_dual_fac[m], rho)
+            elif ragged:
+                Z = prox_slicewise_ragged(
+                    prox, facB + state.constraint_dual_fac[m], rho, sizes)
             else:
                 Z = prox_slicewise(prox, facB + state.constraint_dual_fac[m], rho)
-            if bmask is not None:
-                Z = jnp.where(bmask[:, :, None], Z, 0.0)
             dual = state.constraint_dual_fac[m] + facB - Z
             state = state.replace(
                 constraint_fac=tuple_set(state.constraint_fac, m, Z),
@@ -195,6 +199,31 @@ def prox_slicewise(prox, Bs, rho):
     """Apply a matrix prox per slice k with its own rho_k
     (cmtf_fun_AOADMM.m:567-578)."""
     return jax.vmap(prox)(Bs, rho)
+
+
+def prox_slicewise_ragged(prox, Bs, rho, sizes):
+    """Slice-wise prox on RAGGED padded slices: each slice k is proxed on its
+    true J_k rows only, exactly like the reference's per-slice
+    Z.prox_operators{m}(B{k}, rho(k)) on true-size matrices
+    (cmtf_fun_AOADMM.m:567-578).
+
+    Slice sizes are static (ProblemSpec.mode_sizes), so slices are bucketed
+    by size at trace time and each bucket runs one vmapped prox on exact
+    shapes — row-coupled projections (PAVA/unimodality, simplex, TV, ...)
+    never see the zero padding, and padded rows stay exactly zero.
+
+    Bs: (K, Jmax, R) padded; rho: (K,); sizes: static tuple of J_k.
+    """
+    out = jnp.zeros_like(Bs)
+    buckets: dict[int, list[int]] = {}
+    for k, J in enumerate(sizes):
+        buckets.setdefault(int(J), []).append(k)
+    for J, ks in sorted(buckets.items()):
+        idx = jnp.asarray(ks)
+        sub = Bs[idx, :J, :]
+        res = jax.vmap(prox)(sub, rho[idx])
+        out = out.at[idx, :J, :].set(res)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -488,4 +517,4 @@ def admm_coupled(spec: ProblemSpec, state: SolverState, data, cmodes, cid,
            if spec.datasets[spec.which_p(m)].loss != "Frobenius"}
     init = (state, jnp.int32(1), inf, inf, inf, inf, lb0)
     state, it, prc, drc, prk, drk, lb = lax.while_loop(cond, body, init)
-    return state, it - 1, lb
+    return state, it - 1, lb, (jnp.maximum(prc, prk), jnp.maximum(drc, drk))

@@ -86,7 +86,8 @@ def make_lbfgs_step(spec: ProblemSpec, p: int, m: int, options):
             return f, g
 
         res = lbfgsb(vag, fac0.reshape(-1), lo, hi, m=lopt.m,
-                     maxiter=lopt.maxIts, pgtol=lopt.pgtol, factr=lopt.factr)
+                     maxiter=lopt.maxIts, pgtol=lopt.pgtol, factr=lopt.factr,
+                     max_total_its=lopt.maxTotalIts)
         state = state.replace(fac=tuple_set(state.fac, m,
                                             res.x.reshape(fshape)))
         return state, res.iterations

@@ -6,10 +6,15 @@ axis of the state pytree, so the MTTKRPs and batched solves of every start
 execute as one larger fused program (SURVEY.md §2.3 'embarrassingly
 parallel: one init per device group / vmap over seeds').
 
-Semantics: every start runs MaxOuterIters sweeps; each start's individual
-stopping iteration is recovered afterwards from the per-iteration history
-streams (identical numbers to a sequential early-stopped run, since history
-entries before the stop point are unaffected by later sweeps).
+Semantics match a sequential loop of single fits exactly:
+  * `iter_start_PAR2Bkconstraint` is honored via the same two-phase runner
+    split as fit() (cmtf_fun_AOADMM.m:7-9),
+  * each start STOPS at its own stopping iteration — its state/history are
+    frozen from then on (lane masking), and the whole batched loop exits as
+    soon as every start has stopped, so no sweeps are wasted past the
+    slowest start's convergence,
+  * the best start (min final f_tensors, example_script15:126-130) is
+    returned with a full FitOutput (histories, innerIters, exit_flag).
 """
 from __future__ import annotations
 
@@ -23,8 +28,25 @@ from matlab_code_tpu.options import AlgOptions, InitOptions
 from matlab_code_tpu.models.init import init_coupled
 from matlab_code_tpu.models.solver import (
     build_proxes, make_outer_step, init_cache, compute_znorm_consts,
-    em_impute, stopping)
+    em_impute, stopping, FitOutput, _has_bk_constraint)
 from matlab_code_tpu.models.objective import func_eval
+
+
+def _lane_where(stopped, old, new):
+    """Per-start freeze: keep `old` where the lane has stopped."""
+    def sel(a, b):
+        if a is None:
+            return None
+        m = stopped.reshape(stopped.shape + (1,) * (a.ndim - 1))
+        return jnp.where(m, a, b)
+    return jax.tree_util.tree_map(sel, old, new, is_leaf=lambda x: x is None)
+
+
+def _stopping_v(f4_new, f4_old, options):
+    """Vectorized stopping over the start axis; f4 are (S, 4) arrays."""
+    def one(fn, fo):
+        return stopping(tuple(fn), tuple(fo), options)
+    return jax.vmap(one)(f4_new, f4_old)
 
 
 def fit_multistart(spec: ProblemSpec, data: ProblemData, options: AlgOptions,
@@ -32,8 +54,8 @@ def fit_multistart(spec: ProblemSpec, data: ProblemData, options: AlgOptions,
                    delta_shapes=None):
     """Returns (best_state, best_out, all_f_tensors, stop_iters).
 
-    best_out: dict with the four final streams + histories of the best start
-    evaluated at ITS OWN stopping iteration.
+    best_out is a full FitOutput of the best start, evaluated at its own
+    stopping iteration (identical numbers to a sequential early-stopped run).
     """
     if isinstance(base_key, str):
         import hashlib
@@ -44,64 +66,172 @@ def fit_multistart(spec: ProblemSpec, data: ProblemData, options: AlgOptions,
                            delta_shapes=delta_shapes) for k in keys]
     batched = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
     proxes, reg_fns = build_proxes(spec)
-    # multistart keeps the Bk constraint statically active from iter 1
-    # (iter_start_PAR2Bkconstraint is supported via the single-start path)
-    outer_step = make_outer_step(spec, options, proxes, reg_fns, True)
     miss_flag = has_missing(data)
     znorms = compute_znorm_consts(spec, data, options)
     T = options.MaxOuterIters
+    nb = spec.nb_modes
+    S = n_starts
+    dt = np.asarray(states[0].fac[0]).dtype
 
-    def run_one(state, data):
+    bk = _has_bk_constraint(spec)
+    start_it = options.iter_start_PAR2Bkconstraint
+    if bk and start_it > 1:
+        phases = [(min(start_it - 1, T), False), (T, True)]
+    else:
+        phases = [(T, True)]
+
+    # per-start caches / initial objective, batched via vmap
+    def init_one(state):
         grams, colnorms = init_cache(spec, state)
         f4 = func_eval(spec, data, state, grams, znorms, reg_fns, None,
                        options)
-        hist = jnp.zeros((4, T + 1), f4[0].dtype)
-        hist = hist.at[:, 0].set(jnp.stack(f4))
-        frm = jnp.asarray(jnp.nan, f4[0].dtype)
+        return grams, colnorms, jnp.stack(f4)
 
-        def body(i, c):
-            state, data, grams, colnorms, hist, frm = c
-            state, grams, colnorms, cached, _, _ = outer_step(
-                state, data, grams, colnorms)
+    grams, colnorms, f4 = jax.jit(jax.vmap(init_one))(batched)
+    rho_scale = jnp.ones((S, nb), dt)
+    if miss_flag:
+        vdata = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (S,) + x.shape) if x is not None
+            else None, data, is_leaf=lambda x: x is None)
+    else:
+        vdata = None
+
+    hist = jnp.zeros((S, 4, T + 1), dt).at[:, :, 0].set(f4)
+    inner_h = jnp.zeros((S, nb, T + 1), jnp.int32)
+    lb_h = (jnp.zeros((S, nb, T + 1), jnp.int32)
+            if spec.has_non_frobenius() else None)
+    frm = jnp.full((S,), np.nan, dt)
+    stopped = jnp.zeros((S,), bool)
+    illc_l = jnp.zeros((S,), bool)
+    stop_iter = jnp.full((S,), T, jnp.int32)
+
+    def make_phase(active):
+        step = make_outer_step(spec, options, proxes, reg_fns, active)
+
+        def sweep_one(state, dat, grams, colnorms, rho_scale):
+            (state, grams, colnorms, rho_scale, cached, inner, lb,
+             illc) = step(state, dat, grams, colnorms, rho_scale)
             if miss_flag:
-                data, frm = em_impute(spec, data, state)
-            f4n = func_eval(spec, data, state, grams, znorms, reg_fns,
-                            cached, options)
-            hist = hist.at[:, i + 1].set(jnp.stack(f4n))
-            return (state, data, grams, colnorms, hist, frm)
+                dat, f_rm = em_impute(spec, dat, state)
+            else:
+                f_rm = jnp.asarray(np.nan, dt)
+            f4n = func_eval(spec, dat, state, grams, znorms, reg_fns,
+                            cached=cached, options=options)
+            inner_col = jnp.zeros((nb,), jnp.int32)
+            for mm, v in inner.items():
+                inner_col = inner_col.at[mm].set(v)
+            lb_col = jnp.zeros((nb,), jnp.int32)
+            for mm, v in lb.items():
+                lb_col = lb_col.at[mm].set(v)
+            return (state, dat, grams, colnorms, rho_scale, jnp.stack(f4n),
+                    f_rm, inner_col, lb_col, illc)
 
-        state, data, grams, colnorms, hist, frm = lax.fori_loop(
-            0, T, body, (state, data, grams, colnorms, hist, frm))
-        return state, hist, frm
+        dax = 0 if miss_flag else None
+        vsweep = jax.vmap(sweep_one, in_axes=(0, dax, 0, 0, 0))
 
-    run_all = jax.jit(jax.vmap(run_one, in_axes=(0, None)))
-    states_f, hists, frms = run_all(batched, data)
-    hists = np.asarray(hists)   # (S, 4, T+1)
+        def run(state, vdata, grams, colnorms, rho_scale, f4, frm, hist,
+                inner_h, lb_h, stopped, illc_l, stop_iter, it0, last_it):
+            def cond(c):
+                it, stopped = c[-2], c[-5]
+                return (it <= last_it) & (~jnp.all(stopped))
 
-    # recover each start's stopping iteration on the host
-    stop_iters = []
-    finals = []
-    for s in range(n_starts):
-        it_stop = T
-        for it in range(1, T + 1):
-            f4 = tuple(hists[s, :, it])
-            f4o = tuple(hists[s, :, it - 1])
-            if bool(stopping(f4, f4o, options)) or not np.all(
-                    np.isfinite(hists[s, :, it])):
-                it_stop = it
-                break
-        stop_iters.append(it_stop)
-        finals.append(hists[s, 0, it_stop])
-    finals = np.asarray(finals)
+            def body(c):
+                (state, vdata, grams, colnorms, rho_scale, f4, frm, hist,
+                 inner_h, lb_h, stopped, illc_l, stop_iter, it, _) = c
+                new = vsweep(state, vdata if miss_flag else data, grams,
+                             colnorms, rho_scale)
+                (nstate, ndata, ngrams, ncolnorms, nrho, f4n, frmn,
+                 inner_col, lb_col, illc_n) = new
+                # freeze lanes that had already stopped
+                nstate = _lane_where(stopped, state, nstate)
+                ngrams = _lane_where(stopped, grams, ngrams)
+                ncolnorms = _lane_where(stopped, colnorms, ncolnorms)
+                nrho = _lane_where(stopped, rho_scale, nrho)
+                f4n = _lane_where(stopped, f4, f4n)
+                frmn = jnp.where(stopped, frm, frmn)
+                if miss_flag:
+                    ndata = _lane_where(stopped, vdata, ndata)
+                else:
+                    ndata = vdata
+                # per-start stopping on this iteration's streams
+                stop_now = _stopping_v(f4n, f4, options)
+                if miss_flag:
+                    stop_now = stop_now & (frmn < options.OuterRelTol)
+                bad = ~jnp.all(jnp.isfinite(f4n), axis=1)
+                illc_n = jnp.where(stopped, illc_l, illc_l | illc_n)
+                stop_now = stop_now | bad | illc_n
+                # record history for active lanes only
+                act = ~stopped
+                hist = hist.at[:, :, it].set(
+                    jnp.where(act[:, None], f4n, 0.0))
+                inner_h = inner_h.at[:, :, it].set(
+                    jnp.where(act[:, None], inner_col, 0))
+                if lb_h is not None:
+                    lb_h2 = lb_h.at[:, :, it].set(
+                        jnp.where(act[:, None], lb_col, 0))
+                else:
+                    lb_h2 = lb_h
+                stop_iter = jnp.where(act, it, stop_iter)
+                stopped = stopped | stop_now
+                return (nstate, ndata, ngrams, ncolnorms, nrho, f4n, frmn,
+                        hist, inner_h, lb_h2, stopped, illc_n, stop_iter,
+                        it + 1, jnp.int32(last_it))
+
+            c0 = (state, vdata, grams, colnorms, rho_scale, f4, frm, hist,
+                  inner_h, lb_h, stopped, illc_l, stop_iter, it0,
+                  jnp.int32(last_it))
+            return lax.while_loop(cond, body, c0)
+
+        return jax.jit(run, static_argnames=())
+
+    it = jnp.int32(1)
+    carry = (batched, vdata, grams, colnorms, rho_scale, f4, frm, hist,
+             inner_h, lb_h, stopped, illc_l, stop_iter, it, jnp.int32(0))
+    for last_it, active in phases:
+        if int(carry[-2]) > last_it or bool(jnp.all(carry[-5])):
+            continue
+        run = make_phase(active)
+        carry = run(*carry[:-2], carry[-2], last_it)
+
+    (states_f, _, _, _, _, f4, frm, hist, inner_h, lb_h, stopped, illc_l,
+     stop_iter, it, _) = carry
+    hist = np.asarray(hist)
+    stop_iter = np.asarray(stop_iter)
+    stopped = np.asarray(stopped)
+    illc_l = np.asarray(illc_l)
+    inner_h = np.asarray(inner_h)
+    frm = np.asarray(frm)
+
+    stop_iters = [int(s) for s in stop_iter]
+    finals = np.asarray([hist[s, 0, stop_iters[s]] for s in range(S)])
     best = int(np.nanargmin(finals))
     best_state = jax.tree_util.tree_map(
-        lambda x: x[best] if x is not None else None, states_f)
-    best_out = {
-        "f_tensors": float(hists[best, 0, stop_iters[best]]),
-        "f_couplings": float(hists[best, 1, stop_iters[best]]),
-        "f_constraints": float(hists[best, 2, stop_iters[best]]),
-        "f_PAR2_couplings": float(hists[best, 3, stop_iters[best]]),
-        "OuterIterations": stop_iters[best],
-        "func_val_conv": hists[best, 0, :stop_iters[best] + 1],
-    }
+        lambda x: x[best] if x is not None else None, states_f,
+        is_leaf=lambda x: x is None)
+
+    n_it = stop_iters[best]
+    f4b = tuple(float(hist[best, i, n_it]) for i in range(4))
+    if illc_l[best] or not all(np.isfinite(f4b)):
+        exit_flag = "illconditioned lin system"
+    elif not stopped[best]:
+        exit_flag = "maxIterations"
+    else:
+        names = ("f_tensors", "f_couplings", "f_constraints",
+                 "f_PAR2_couplings")
+        exit_flag = {n: ("AbsFuncTol" if v < options.AbsFuncTol
+                         else "RelFuncTol") for n, v in zip(names, f4b)}
+    best_out = FitOutput(
+        f_tensors=f4b[0], f_couplings=f4b[1], f_constraints=f4b[2],
+        f_PAR2_couplings=f4b[3],
+        f_rel_missing=float(frm[best]) if miss_flag else float("nan"),
+        exit_flag=exit_flag, OuterIterations=n_it,
+        func_val_conv=hist[best, 0, :n_it + 1],
+        func_coupl_conv=hist[best, 1, :n_it + 1],
+        func_constr_conv=hist[best, 2, :n_it + 1],
+        func_PAR2_coupl=hist[best, 3, :n_it + 1],
+        func_rel_missing=None,
+        innerIters=inner_h[best, :, :n_it + 1],
+        time_total=float("nan"),
+        lbfgsb_iterations=(np.asarray(lb_h)[best, :, :n_it + 1]
+                           if lb_h is not None else None))
     return best_state, best_out, finals, stop_iters

@@ -106,11 +106,15 @@ def func_eval(spec: ProblemSpec, data: ProblemData, state, grams,
                 if spec.constraints[m].kind == "tPARAFAC2":
                     f_tensors = f_tensors + rf(state.fac[m])
                 else:
-                    # slice-wise sum over k
+                    # slice-wise sum over k, each on its TRUE J_k rows so
+                    # ragged padding never enters the penalty
+                    # (cmtf_fun_AOADMM.m:1281-1284 applies reg_func{m} to the
+                    # true-size B{k})
                     Bs = state.fac[m]
-                    K = Bs.shape[0]
+                    p = spec.which_p(m)
+                    sizes = spec.par2_slice_sizes(p)
                     f_tensors = f_tensors + sum(
-                        rf(Bs[k]) for k in range(K))
+                        rf(Bs[k, :J]) for k, J in enumerate(sizes))
             else:
                 f_tensors = f_tensors + rf(state.fac[m])
 

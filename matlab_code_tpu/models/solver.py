@@ -107,6 +107,16 @@ def compute_znorm_consts(spec: ProblemSpec, data: ProblemData,
 # ---------------------------------------------------------------------------
 
 
+def _chol_rcond_bad(L, tol: float):
+    """Early ill-conditioning check on a Cholesky factor (or batch of them):
+    the rcond estimate (min/max diagonal)^2 below tol, or non-finite.  The
+    TPU-native analogue of the reference's nearlySingularMatrix promotion
+    (cmtf_fun_AOADMM.m:83-84)."""
+    d = jnp.abs(jnp.diagonal(L, axis1=-2, axis2=-1))
+    r = (jnp.min(d) / jnp.max(d)) ** 2
+    return ~jnp.isfinite(r) | (r < tol)
+
+
 def make_outer_step(spec: ProblemSpec, options: AlgOptions, proxes, reg_fns,
                     bk_constraint_active: bool):
     lbfgs_steps = {}
@@ -114,13 +124,35 @@ def make_outer_step(spec: ProblemSpec, options: AlgOptions, proxes, reg_fns,
         if ds.loss != "Frobenius":
             for m in ds.modes:
                 lbfgs_steps[m] = make_lbfgs_step(spec, p, m, options)
+    adaptive = options.adaptive_rho_nonfrob and spec.has_non_frobenius()
 
-    def outer_step(state, data, grams, colnorms):
-        """Returns (state, grams, colnorms, cached, inner_its, lbfgs_its)."""
+    def outer_step(state, data, grams, colnorms, rho_scale=None):
+        """Returns (state, grams, colnorms, rho_scale, cached, inner_its,
+        lbfgs_its, illcond)."""
         inner_its: dict[int, Any] = {}
         lbfgs_its: dict[int, Any] = {}
         cached: dict[int, Any] = {}
         partials: dict[int, Any] = {}   # per-sweep dimension-tree cache
+        illc = jnp.bool_(False)
+
+        def chol_checked(B):
+            nonlocal illc
+            L = chol_lower(B)
+            if options.IllCondTol > 0:
+                illc = illc | _chol_rcond_bad(L, options.IllCondTol)
+            return L
+
+        def balance_rho(m, res):
+            """Residual-balancing update of the per-mode rho factor (Boyd
+            et al. 2011 sec 3.4.1) — extension, options.adaptive_rho_nonfrob."""
+            nonlocal rho_scale
+            if not adaptive:
+                return
+            pr, dr = res
+            f = jnp.where(pr > 10.0 * dr, 2.0, jnp.where(dr > 10.0 * pr,
+                                                         0.5, 1.0))
+            rho_scale = rho_scale.at[m].set(
+                jnp.clip(rho_scale[m] * f, 1e-6, 1e6))
 
         for cid in spec.coupling_ids():
             cmodes = spec.coupled_modes_of(cid)
@@ -141,11 +173,20 @@ def make_outer_step(spec: ProblemSpec, options: AlgOptions, proxes, reg_fns,
                             cached[p] = (pre.last_mttkrp, pre.last_had,
                                          ds.modes.index(m))
                         else:
-                            pre = ModePre(None, None, nonfrob_rho(colnorms, m),
-                                          None, None)
+                            rho_nf = nonfrob_rho(colnorms, m)
+                            if adaptive:
+                                rho_nf = rho_nf * rho_scale[m]
+                            pre = ModePre(None, None, rho_nf, None, None)
                         if cid == 0:
                             if not constrained:
                                 if frob:
+                                    if options.IllCondTol > 0:
+                                        # the unregularized normal matrix is
+                                        # where MATLAB's nearlySingularMatrix
+                                        # would fire (cmtf_fun_AOADMM.m:134)
+                                        illc = illc | _chol_rcond_bad(
+                                            chol_lower(pre.B),
+                                            options.IllCondTol)
                                     fac = rsolve(pre.A, pre.B)
                                     state = state.replace(
                                         fac=tuple_set(state.fac, m, fac))
@@ -157,16 +198,18 @@ def make_outer_step(spec: ProblemSpec, options: AlgOptions, proxes, reg_fns,
                             else:
                                 if frob:
                                     eye = jnp.eye(R, dtype=pre.A.dtype)
-                                    L = chol_lower(pre.B + 0.5 * pre.rho * eye)
+                                    L = chol_checked(
+                                        pre.B + 0.5 * pre.rho * eye)
                                 else:
                                     L = None
-                                state, nin, lb = admm_constrained_only(
+                                state, nin, lb, res = admm_constrained_only(
                                     spec, state, m, p, pre.A, L, pre.rho,
                                     options, proxes,
                                     lbfgs_steps.get(m), data)
                                 inner_its[m] = nin
                                 if not frob:
                                     lbfgs_its[m] = lb
+                                    balance_rho(m, res)
                             if frob:
                                 grams = refresh_gram(spec, state, grams, m)
                             else:
@@ -180,14 +223,17 @@ def make_outer_step(spec: ProblemSpec, options: AlgOptions, proxes, reg_fns,
                         cached[p] = (pre.last_mttkrp, pre.last_had, 0)
                         if cid == 0:
                             if not constrained:
+                                if options.IllCondTol > 0:
+                                    illc = illc | _chol_rcond_bad(
+                                        chol_lower(pre.B), options.IllCondTol)
                                 fac = rsolve(pre.A, pre.B)
                                 state = state.replace(
                                     fac=tuple_set(state.fac, m, fac))
                                 inner_its[m] = jnp.int32(1)
                             else:
                                 eye = jnp.eye(R, dtype=pre.A.dtype)
-                                L = chol_lower(pre.B + 0.5 * pre.rho * eye)
-                                state, nin, _ = admm_constrained_only(
+                                L = chol_checked(pre.B + 0.5 * pre.rho * eye)
+                                state, nin, _, _ = admm_constrained_only(
                                     spec, state, m, p, pre.A, L, pre.rho,
                                     options, proxes)
                                 inner_its[m] = nin
@@ -200,13 +246,13 @@ def make_outer_step(spec: ProblemSpec, options: AlgOptions, proxes, reg_fns,
                         A, L, rho = par2B_precompute(
                             spec, data, state, grams, p, m, options,
                             constraint_active=active, partials=partials)
+                        if options.IllCondTol > 0:
+                            illc = illc | _chol_rcond_bad(L, options.IllCondTol)
                         cached[p] = (None, None, 1)
-                        bmask = data.objects[p].mask
-                        regular = len(set(spec.par2_slice_sizes(p))) == 1
                         state, nin = admm_b_parafac2(
                             spec, state, m, p, A, L, rho, options, proxes,
                             constraint_active=active,
-                            bmask=None if regular else bmask)
+                            sizes=spec.par2_slice_sizes(p))
                         inner_its[m] = nin
                         grams = refresh_gram(spec, state, grams, m)
                     else:  # par2_C
@@ -215,6 +261,9 @@ def make_outer_step(spec: ProblemSpec, options: AlgOptions, proxes, reg_fns,
                         cached[p] = (None, None, 2)
                         if cid == 0:
                             if not constrained:
+                                if options.IllCondTol > 0:
+                                    illc = illc | _chol_rcond_bad(
+                                        chol_lower(pre.B), options.IllCondTol)
                                 fac = jnp.linalg.solve(
                                     pre.B, pre.A[:, :, None])[:, :, 0]
                                 state = state.replace(
@@ -223,8 +272,8 @@ def make_outer_step(spec: ProblemSpec, options: AlgOptions, proxes, reg_fns,
                             else:
                                 eye = jnp.eye(R, dtype=pre.A.dtype)
                                 Bk = pre.B + 0.5 * pre.rho[:, None, None] * eye
-                                L = chol_lower(Bk)
-                                state, nin, _ = admm_constrained_only(
+                                L = chol_checked(Bk)
+                                state, nin, _, _ = admm_constrained_only(
                                     spec, state, m, p, pre.A, L, pre.rho,
                                     options, proxes)
                                 inner_its[m] = nin
@@ -258,7 +307,7 @@ def make_outer_step(spec: ProblemSpec, options: AlgOptions, proxes, reg_fns,
                             B2 = block_diag(Bk) + 0.5 * rhoC * (HcI.T @ HcI)
                             if constrained:
                                 B2 = B2 + 0.5 * rhoC * jnp.eye(K * R, dtype=dt)
-                            Ls[m] = chol_lower(B2)
+                            Ls[m] = chol_checked(B2)
                         else:
                             B2 = 0.5 * pre.rho * (H.T @ H)
                             if constrained:
@@ -275,7 +324,7 @@ def make_outer_step(spec: ProblemSpec, options: AlgOptions, proxes, reg_fns,
                             B = pre.B + 0.5 * pre.rho * HHt
                             if constrained:
                                 B = B + 0.5 * pre.rho * eye
-                        Ls[m] = chol_lower(B)
+                        Ls[m] = chol_checked(B)
                     else:  # 0, 3, 4
                         if par2C:
                             B = pre.B + 0.5 * pre.rho[:, None, None] * eye
@@ -285,8 +334,8 @@ def make_outer_step(spec: ProblemSpec, options: AlgOptions, proxes, reg_fns,
                             B = pre.B + 0.5 * pre.rho * eye
                             if constrained:
                                 B = B + 0.5 * pre.rho * eye
-                        Ls[m] = chol_lower(B)
-                state, nin, lb = admm_coupled(
+                        Ls[m] = chol_checked(B)
+                state, nin, lb, res = admm_coupled(
                     spec, state, data, cmodes, cid, ctype, As, Ls, Bs, B2s,
                     rhos, options, proxes, lbfgs_steps)
                 for m in cmodes:
@@ -297,10 +346,12 @@ def make_outer_step(spec: ProblemSpec, options: AlgOptions, proxes, reg_fns,
                             grams = refresh_gram(spec, state, grams, m)
                     else:
                         lbfgs_its[m] = lb[m]
+                        balance_rho(m, res)
                         colnorms = colnorms.at[m].set(
                             refresh_colnorm_update(state, m))
 
-        return state, grams, colnorms, cached, inner_its, lbfgs_its
+        return (state, grams, colnorms, rho_scale, cached, inner_its,
+                lbfgs_its, illc)
 
     return outer_step
 
@@ -368,8 +419,11 @@ _RUNNER_CACHE_MAX = 32   # LRU bound: compiled runners pin device memory
 
 
 def _get_phase_runner(spec: ProblemSpec, options: AlgOptions,
-                      bk_active: bool, last_it: int, miss_flag: bool):
-    key = (spec, options, bk_active, last_it, miss_flag)
+                      bk_active: bool, miss_flag: bool):
+    """Compiled multi-iteration runner.  `last_it` is a TRACED argument, so
+    one compiled program serves any chunk length (used by fit() both for the
+    full phase and for time_at_it chunking)."""
+    key = (spec, options, bk_active, miss_flag)
     if key in _RUNNER_CACHE:
         _RUNNER_CACHE[key] = _RUNNER_CACHE.pop(key)   # mark most-recent
         return _RUNNER_CACHE[key]
@@ -377,17 +431,20 @@ def _get_phase_runner(spec: ProblemSpec, options: AlgOptions,
     outer_step = make_outer_step(spec, options, proxes, reg_fns, bk_active)
     nb_modes = spec.nb_modes
 
-    def run(state, data, znorms, hist, f4, frm, it0):
-        grams, colnorms = init_cache(spec, state)
+    def run(state, data, znorms, hist, f4, frm, it0, last_it, grams,
+            colnorms, rho_scale):
 
         def cond(c):
-            state, data, grams, colnorms, f4, frm, hist, it, stop = c
+            (state, data, grams, colnorms, rho_scale, f4, frm, hist, it,
+             stop, illc) = c
             return (it <= last_it) & (~stop)
 
         def body(c):
-            state, data, grams, colnorms, f4, frm, hist, it, stop = c
-            state, grams, colnorms, cached, inner_its, lbfgs_its = outer_step(
-                state, data, grams, colnorms)
+            (state, data, grams, colnorms, rho_scale, f4, frm, hist, it,
+             stop, illc) = c
+            (state, grams, colnorms, rho_scale, cached, inner_its,
+             lbfgs_its, illc_new) = outer_step(
+                state, data, grams, colnorms, rho_scale)
             if miss_flag:
                 data, frm = em_impute(spec, data, state)
             f4_new = func_eval(spec, data, state, grams, znorms, reg_fns,
@@ -395,9 +452,11 @@ def _get_phase_runner(spec: ProblemSpec, options: AlgOptions,
             stop_new = stopping(f4_new, f4, options)
             if miss_flag:
                 stop_new = stop_new & (frm < options.OuterRelTol)
-            # guard against non-finite streams (ill-conditioned systems)
+            # guard against non-finite streams (ill-conditioned systems) and
+            # the early Cholesky rcond check (cmtf_fun_AOADMM.m:83-84)
             bad = ~jnp.isfinite(sum(f4_new))
-            stop_new = stop_new | bad
+            illc = illc | illc_new
+            stop_new = stop_new | bad | illc
             hist = dict(hist)
             hist["f_tensors"] = hist["f_tensors"].at[it].set(f4_new[0])
             hist["f_couplings"] = hist["f_couplings"].at[it].set(f4_new[1])
@@ -428,14 +487,15 @@ def _get_phase_runner(spec: ProblemSpec, options: AlgOptions,
                          _print, lambda a: 0,
                          (it, f_total, f4_new[0], f4_new[1], f4_new[2],
                           f4_new[3]))
-            return (state, data, grams, colnorms, f4_new, frm, hist, it + 1,
-                    stop_new)
+            return (state, data, grams, colnorms, rho_scale, f4_new, frm,
+                    hist, it + 1, stop_new, illc)
 
-        carry = (state, data, grams, colnorms, f4, frm, hist, it0,
-                 jnp.bool_(False))
-        state, data, grams, colnorms, f4, frm, hist, it, stop = \
-            lax.while_loop(cond, body, carry)
-        return state, data, f4, frm, hist, it, stop
+        carry = (state, data, grams, colnorms, rho_scale, f4, frm, hist, it0,
+                 jnp.bool_(False), jnp.bool_(False))
+        (state, data, grams, colnorms, rho_scale, f4, frm, hist, it, stop,
+         illc) = lax.while_loop(cond, body, carry)
+        return (state, data, f4, frm, hist, it, stop, illc, grams, colnorms,
+                rho_scale)
 
     fn = jax.jit(run)
     _RUNNER_CACHE[key] = fn
@@ -512,9 +572,9 @@ def fit_stepwise(spec: ProblemSpec, data: ProblemData, state: SolverState,
     for active in ({False, True} if bk else {True}):
         step = make_outer_step(spec, options, proxes, reg_fns, active)
 
-        def one(state, data, grams, colnorms, step=step):
-            state, grams, colnorms, cached, inner, lb = step(
-                state, data, grams, colnorms)
+        def one(state, data, grams, colnorms, rho_scale, step=step):
+            (state, grams, colnorms, rho_scale, cached, inner, lb,
+             illc) = step(state, data, grams, colnorms, rho_scale)
             if miss_flag:
                 data, frm = em_impute(spec, data, state)
             else:
@@ -527,11 +587,15 @@ def fit_stepwise(spec: ProblemSpec, data: ProblemData, state: SolverState,
             lb_col = jnp.zeros((spec.nb_modes,), jnp.int32)
             for mm, v in lb.items():
                 lb_col = lb_col.at[mm].set(v)
-            return state, data, grams, colnorms, f4, frm, inner_col, lb_col
+            return (state, data, grams, colnorms, rho_scale, f4, frm,
+                    inner_col, lb_col, illc)
 
         steps[active] = jax.jit(one)
 
     grams, colnorms = init_cache(spec, state)
+    rho_scale = jnp.ones((spec.nb_modes,),
+                         np.asarray(state.fac[0]).dtype)
+    illc = False
     f4 = func_eval(spec, data, state, grams, znorms, reg_fns, None, options)
     f4 = tuple(float(v) for v in f4)
     hist = [f4]
@@ -544,8 +608,9 @@ def fit_stepwise(spec: ProblemSpec, data: ProblemData, state: SolverState,
     stop = False
     while it <= options.MaxOuterIters and not stop:
         active = (not bk) or it >= max(options.iter_start_PAR2Bkconstraint, 0)
-        state, data, grams, colnorms, f4_new, frm_t, inner_col, lb_col = \
-            steps[active](state, data, grams, colnorms)
+        (state, data, grams, colnorms, rho_scale, f4_new, frm_t, inner_col,
+         lb_col, illc_t) = steps[active](state, data, grams, colnorms,
+                                         rho_scale)
         inner_hist.append(np.asarray(inner_col))
         lb_hist.append(np.asarray(lb_col))
         f4_new = tuple(float(v) for v in f4_new)
@@ -555,13 +620,18 @@ def fit_stepwise(spec: ProblemSpec, data: ProblemData, state: SolverState,
             stop = stop and frm < options.OuterRelTol
         if not all(np.isfinite(f4_new)):
             stop = True
+        if bool(illc_t):
+            illc = True
+            stop = True
         hist.append(f4_new)
         times.append(time.perf_counter() - t0)
         f4 = f4_new
         it += 1
     n_iter = it - 1
     harr = np.asarray(hist)
-    if n_iter >= options.MaxOuterIters and not stop:
+    if illc:
+        exit_flag = "illconditioned lin system"
+    elif n_iter >= options.MaxOuterIters and not stop:
         exit_flag = "maxIterations"
     elif not all(np.isfinite(f4)):
         exit_flag = "illconditioned lin system"
@@ -627,22 +697,44 @@ def fit(spec: ProblemSpec, data: ProblemData, state: SolverState,
     else:
         phases = [(T, True)]
 
+    grams, colnorms = init_cache(spec, state)
+    rho_scale = jnp.ones((spec.nb_modes,), dt)
+    chunk = options.TimeAtItChunk  # 0 = one runner call per phase
+    time_marks = [(0, 0.0)]        # (iteration, elapsed) at chunk boundaries
+
     t0 = time.perf_counter()
     it = jnp.int32(1)
     stop = False
+    illc = False
     for last_it, active in phases:
         if stop or int(it) > last_it:
             continue
-        runner = _get_phase_runner(spec, options, active, last_it, miss_flag)
-        state, data, f4, frm, hist, it, stop_t = runner(
-            state, data, znorms, hist, f4, frm, it)
-        stop = bool(stop_t)
+        runner = _get_phase_runner(spec, options, active, miss_flag)
+        while not stop and int(it) <= last_it:
+            chunk_end = min(last_it, int(it) + chunk - 1) if chunk > 0 \
+                else last_it
+            (state, data, f4, frm, hist, it, stop_t, illc_t, grams,
+             colnorms, rho_scale) = runner(
+                state, data, znorms, hist, f4, frm, it,
+                jnp.int32(chunk_end), grams, colnorms, rho_scale)
+            stop = bool(stop_t)
+            illc = illc or bool(illc_t)
+            time_marks.append((int(it) - 1, time.perf_counter() - t0))
     jax.block_until_ready(state.fac[0])
     t_total = time.perf_counter() - t0
 
     n_iter = int(it) - 1
     f4 = tuple(float(v) for v in f4)
-    if n_iter >= T and not stop:
+    # per-iteration wall times (out.time_at_it, cmtf_fun_AOADMM.m:455):
+    # measured at chunk boundaries (every TimeAtItChunk iterations), linearly
+    # interpolated within a chunk
+    time_at_it = np.zeros((n_iter + 1,))
+    for (i0, u0), (i1, u1) in zip(time_marks, time_marks[1:]):
+        if i1 > i0:
+            time_at_it[i0:i1 + 1] = np.linspace(u0, u1, i1 - i0 + 1)
+    if illc:
+        exit_flag = "illconditioned lin system"
+    elif n_iter >= T and not stop:
         exit_flag = "maxIterations"
     elif not all(np.isfinite(f4)):
         exit_flag = "illconditioned lin system"
@@ -664,7 +756,7 @@ def fit(spec: ProblemSpec, data: ProblemData, state: SolverState,
         func_rel_missing=(np.asarray(hist["f_rel_missing"][:n_iter + 1])
                           if miss_flag else None),
         innerIters=np.asarray(hist["inner_iters"][:, :n_iter + 1]),
-        time_total=t_total,
+        time_total=t_total, time_at_it=time_at_it,
         lbfgsb_iterations=(np.asarray(hist["lbfgsb_iters"][:, :n_iter + 1])
                            if "lbfgsb_iters" in hist else None))
 

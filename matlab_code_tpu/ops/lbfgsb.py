@@ -32,8 +32,14 @@ class LbfgsbResult(NamedTuple):
 def lbfgsb(value_and_grad: Callable, x0: jnp.ndarray,
            lower: jnp.ndarray | float, upper: jnp.ndarray | float,
            m: int = 5, maxiter: int = 100,
-           pgtol: float = 1e-5, factr: float = 1e7) -> LbfgsbResult:
-    """Minimize fun over the box [lower, upper] starting from x0 (1-D)."""
+           pgtol: float = 1e-5, factr: float = 1e7,
+           max_total_its: int = 0) -> LbfgsbResult:
+    """Minimize fun over the box [lower, upper] starting from x0 (1-D).
+
+    max_total_its > 0 also caps the TOTAL number of function evaluations
+    (outer iterations + line-search backtracks), the reference's
+    lbfgsb_options.maxTotalIts (example_script7:64-69, the L-BFGS-B-C
+    wrapper's cumulative-iteration budget)."""
     n = x0.shape[0]
     dt = x0.dtype
     eps = jnp.finfo(dt).eps
@@ -105,15 +111,16 @@ def lbfgsb(value_and_grad: Callable, x0: jnp.ndarray,
                     ls_it + 1, ok)
 
         init = (alpha0, x, f, g, jnp.int32(0), jnp.bool_(False))
-        _, x_new, f_new, g_new, _, ok = lax.while_loop(cond, body, init)
-        return x_new, f_new, g_new, ok
+        _, x_new, f_new, g_new, ls_evals, ok = lax.while_loop(cond, body, init)
+        return x_new, f_new, g_new, ok, ls_evals
 
     def cond(state):
-        x, f, g, S, Y, rho_h, k, it, done = state
-        return (~done) & (it < maxiter)
+        x, f, g, S, Y, rho_h, k, it, tot, done = state
+        under_total = (tot < max_total_its) if max_total_its > 0 else True
+        return (~done) & (it < maxiter) & under_total
 
     def body(state):
-        x, f, g, S, Y, rho_h, k, it, done = state
+        x, f, g, S, Y, rho_h, k, it, tot, done = state
         # active-set restriction: variables pinned at a bound with the gradient
         # pushing outward are frozen; the quasi-Newton direction is built on
         # the free subspace (the gradient-projection idea of Byrd-Lu-Nocedal).
@@ -133,7 +140,7 @@ def lbfgsb(value_and_grad: Callable, x0: jnp.ndarray,
         alpha0 = jnp.where(k == 0,
                            jnp.minimum(1.0, 1.0 / jnp.maximum(dnorm, 1e-30)),
                            jnp.asarray(1.0, dt)).astype(dt)
-        x_new, f_new, g_new, ok = line_search(x, f, g, d, alpha0)
+        x_new, f_new, g_new, ok, ls_evals = line_search(x, f, g, d, alpha0)
         s = x_new - x
         yv = g_new - g
         sy = jnp.dot(s, yv)
@@ -150,9 +157,10 @@ def lbfgsb(value_and_grad: Callable, x0: jnp.ndarray,
         small_df = (f - f_new) <= factr * eps * jnp.maximum(
             jnp.maximum(jnp.abs(f), jnp.abs(f_new)), 1.0)
         done = small_pg | small_df | (~ok)
-        return (x_new, f_new, g_new, S, Y, rho_h, k, it + 1, done)
+        return (x_new, f_new, g_new, S, Y, rho_h, k, it + 1, tot + ls_evals,
+                done)
 
     init = (x0, f0, g0, S, Y, rho_h, jnp.int32(0), jnp.int32(0),
-            pg_norm(x0, g0) <= pgtol)
-    x, f, g, S, Y, rho_h, k, it, done = lax.while_loop(cond, body, init)
+            jnp.int32(1), pg_norm(x0, g0) <= pgtol)
+    x, f, g, S, Y, rho_h, k, it, tot, done = lax.while_loop(cond, body, init)
     return LbfgsbResult(x=x, f=f, iterations=it)

@@ -34,6 +34,29 @@ class AlgOptions:
     iter_start_PAR2Bkconstraint: int = 0   # cmtf_fun_AOADMM.m:7-9
     increase_factor_rhoBk: float | None = None  # cmtf_fun_AOADMM.m:196-198
     lbfgsb: LbfgsbOptions = field(default_factory=LbfgsbOptions)
+    # fit() records out.time_at_it (cmtf_fun_AOADMM.m:455) by splitting the
+    # fused while_loop into chunks of this many outer iterations and
+    # timestamping each chunk boundary on the host (iterations inside a chunk
+    # are linearly interpolated).  Costs one extra dispatch (~1 ms) per chunk;
+    # 0 = single fused call per phase (time_at_it then has one mark per
+    # phase).  fit_stepwise() always records exact per-iteration times.
+    TimeAtItChunk: int = 25
+    # Early ill-conditioning detection: a fit stops with exit flag
+    # 'illconditioned lin system' when the rcond estimate of any assembled
+    # normal matrix (from its Cholesky diagonal) drops below this tolerance —
+    # the TPU-native analogue of the reference's promotion of MATLAB's
+    # nearlySingularMatrix warning (cmtf_fun_AOADMM.m:83-84), which fires at
+    # rcond < eps.  Set 0.0 to disable (then only the non-finite guard stops).
+    IllCondTol: float = 2.220446049250313e-16
+    # EXTENSION (off by default, not in the reference): residual-balancing
+    # adaptive rho for non-Frobenius (KL/IS/beta) modes.  The reference's rho
+    # heuristic (sum of squared column norms, cmtf_fun_AOADMM.m:129) is
+    # independent of the data scale and the ADMM consensus can diverge for
+    # large count scales; when enabled, each non-Frobenius mode's rho is
+    # multiplied by a per-mode factor doubled/halved when the ADMM primal
+    # residual exceeds 10x the dual residual or vice versa (Boyd et al. 2011,
+    # sec. 3.4.1), clamped to [1e-6, 1e6].
+    adaptive_rho_nonfrob: bool = False
     # share the X x_0 A partial between the mode-1/2 MTTKRPs of 3-way CP
     # sweeps (exact numerics; trades one data pass for an (J,K,R)
     # intermediate — measured slower on v5e for the bench shapes, so off by

@@ -271,23 +271,27 @@ def check_data_input(spec: ProblemSpec, data: ProblemData | None = None) -> None
                         "tPARAFAC2 requires equal slice sizes (the temporal "
                         "difference ||B_k - B_{k-1}|| is undefined for "
                         "ragged slices)")
-        # ragged Bk slices + a row-coupled prox: the padded zero rows would
-        # contaminate the projection (PAVA pooling, simplex mass on padding,
-        # TV segments, ...).  Row-separable and column-norm kinds are safe.
+        # Ragged Bk slices: row-coupled projections (unimodality, monotone,
+        # simplex, TV, l1-ball, ...) run through the size-bucketed slice-wise
+        # prox (models/admm.py prox_slicewise_ragged), matching the
+        # reference's per-slice Z.prox_operators{m}(B{k}, rho(k)) on the true
+        # J_k (cmtf_fun_AOADMM.m:567-578).  The only kinds that cannot work
+        # on ragged slices are the ones whose operator is built from a single
+        # fixed mode size — the reference constructs their matrix L from
+        # sz{m}(1) only (constraints_to_prox.m:62-77), so ragged slices would
+        # size-mismatch there too.
         if ds.model == PAR2:
             mB = ds.modes[1]
             c = spec.constraints[mB] if spec.constraints else None
             ragged = len(set(spec.mode_sizes[mB])) > 1
-            safe_ragged = {"non-negativity", "box", "l1 regularization",
-                           "l0 regularization", "ridge", "l2-ball",
-                           "l2 regularization", "non-negative l2-ball",
-                           "non-negative l2-sphere", "orthonormal"}
-            if c is not None and ragged and c.kind not in safe_ragged:
+            size_parameterized = {"GL smoothness", "quadratic regularization"}
+            if c is not None and ragged and c.kind in size_parameterized:
                 raise ValueError(
                     f"Constraint {c.kind!r} on a ragged PARAFAC2 Bk mode is "
-                    "not supported: the projection couples rows and would "
-                    "see the zero padding (use equal slice sizes, or a "
-                    "row-separable / column-norm constraint)")
+                    "not supported: its operator matrix is built for a single "
+                    "fixed slice size (the reference builds it from sz(1), "
+                    "constraints_to_prox.m:62-77, and would size-mismatch on "
+                    "ragged slices as well)")
 
     def rank_of_mode(m):
         return spec.mode_rank(m)

@@ -76,14 +76,18 @@ def _temporal_bks(sizes, R, rng, drift=0.05):
 
 
 def _unimodal_bks(sizes, R, rng):
-    """Shifted Gaussian-bump Bk (create_coupled_data_unimodalBks.m:66-82)."""
-    J = sizes[0]
-    x = np.linspace(-10, 10, J)
-    AA = np.zeros((J, R))
-    for r in range(R):
-        mu = -7 + r * 7
-        AA[:, r] = np.exp(-0.5 * ((x - mu) / 0.8) ** 2) / (0.8 * np.sqrt(2 * np.pi))
-    return [np.roll(AA, k, axis=0) for k in range(len(sizes))]
+    """Shifted Gaussian-bump Bk (create_coupled_data_unimodalBks.m:66-82).
+    For ragged sizes each slice gets bumps on its own J_k grid (the
+    reference generator assumes equal sizes; this extends it naturally)."""
+    def bumps(J, shift):
+        x = np.linspace(-10, 10, J)
+        AA = np.zeros((J, R))
+        for r in range(R):
+            mu = -7 + r * 7
+            AA[:, r] = np.exp(-0.5 * ((x - mu) / 0.8) ** 2) / (
+                0.8 * np.sqrt(2 * np.pi))
+        return np.roll(AA, shift, axis=0)
+    return [bumps(J, k) for k, J in enumerate(sizes)]
 
 
 def create_coupled_data(spec: ProblemSpec, lambdas, noise, distr,

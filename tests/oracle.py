@@ -210,27 +210,42 @@ class OracleCMTF:
 
 
 class OracleParafac2:
-    """Single uncoupled PARAFAC2 dataset (regular slices), Frobenius,
-    optional nonneg constraints on A/C (Bk unconstrained), per
-    cmtf_fun_AOADMM.m:159-248 and ADMM_B_Parafac2 (:509-589)."""
+    """Single uncoupled PARAFAC2 dataset (regular or RAGGED slices),
+    Frobenius, optional nonneg constraints on A/C and an optional slice-wise
+    Bk prox, per cmtf_fun_AOADMM.m:159-248 and ADMM_B_Parafac2 (:509-589).
 
-    def __init__(self, slices, state, weight=1.0):
+    sizes:   optional per-slice row counts J_k (ragged); default = full rows
+             of the provided state arrays.
+    bk_prox: optional numpy callable (B (J_k, R), rho_k) -> (J_k, R) applied
+             per slice on the TRUE J_k rows (cmtf_fun_AOADMM.m:567-578)."""
+
+    def __init__(self, slices, state, weight=1.0, sizes=None, bk_prox=None):
         self.X = [np.array(s, np.float64) for s in slices]
         self.K = len(self.X)
         self.w = weight
+        if sizes is None:
+            sizes = [np.asarray(state.fac[1]).shape[1]] * self.K
+        self.sizes = list(sizes)
+        self.bk_prox = bk_prox
         self.A = np.array(state.fac[0], np.float64)
-        self.B = [np.array(state.fac[1][k], np.float64)
-                  for k in range(self.K)]
+        self.B = [np.array(state.fac[1][k, :J], np.float64)
+                  for k, J in enumerate(self.sizes)]
         self.C = np.array(state.fac[2], np.float64)
-        self.P = [np.array(state.P[0][k], np.float64)
-                  for k in range(self.K)]
+        self.P = [np.array(state.P[0][k, :J], np.float64)
+                  for k, J in enumerate(self.sizes)]
         self.DB = np.array(state.DeltaB[0], np.float64)
-        self.mu = [np.array(state.mu_DeltaB[0][k], np.float64)
-                   for k in range(self.K)]
+        self.mu = [np.array(state.mu_DeltaB[0][k, :J], np.float64)
+                   for k, J in enumerate(self.sizes)]
         self.ZA = (np.array(state.constraint_fac[0], np.float64)
                    if state.constraint_fac[0] is not None else None)
         self.UA = (np.array(state.constraint_dual_fac[0], np.float64)
                    if state.constraint_dual_fac[0] is not None else None)
+        if bk_prox is not None:
+            self.ZB = [np.array(state.constraint_fac[1][k, :J], np.float64)
+                       for k, J in enumerate(self.sizes)]
+            self.UB = [np.array(state.constraint_dual_fac[1][k, :J],
+                                np.float64)
+                       for k, J in enumerate(self.sizes)]
         self.ZC = (np.array(state.constraint_fac[2], np.float64)
                    if state.constraint_fac[2] is not None else None)
         self.UC = (np.array(state.constraint_dual_fac[2], np.float64)
@@ -272,7 +287,8 @@ class OracleParafac2:
             self.A = np.linalg.solve(Bm.T, Am.T).T
         self.gramA = self.A.T @ self.A
 
-        # mode Bk (:191-218, ADMM :509-589), unconstrained
+        # mode Bk (:191-218, ADMM :509-589)
+        constrained_B = self.bk_prox is not None
         Ak = []
         rhok = np.zeros(self.K)
         Lk = []
@@ -280,16 +296,26 @@ class OracleParafac2:
             a = w * self.X[k].T @ self.A @ np.diag(self.C[k])
             c = np.diag(self.C[k]) @ self.gramA @ np.diag(self.C[k])
             rhok[k] = np.trace(c) / R
+            if getattr(opts, "increase_factor_rhoBk", None) is not None:
+                rhok[k] = opts.increase_factor_rhoBk * rhok[k]
             b = w * c + rhok[k] / 2 * np.eye(R)
+            if constrained_B:
+                b = b + rhok[k] / 2 * np.eye(R)   # (:209-211)
             Ak.append(a)
             Lk.append(b)
         prk = drk = np.inf
+        prc = drc = np.inf if constrained_B else 0.0
         it = 1
-        while it <= opts.MaxInnerIters and (prk > opts.innerRelPrTol_coupl
-                                            or drk > opts.innerRelDualTol_coupl):
+        while it <= opts.MaxInnerIters and (
+                prk > opts.innerRelPrTol_coupl
+                or prc > opts.innerRelPrTol_constr
+                or drk > opts.innerRelDualTol_coupl
+                or drc > opts.innerRelDualTol_constr):
             oldP = [p.copy() for p in self.P]
             for k in range(self.K):
                 Ai = Ak[k] + rhok[k] / 2 * (self.P[k] @ self.DB - self.mu[k])
+                if constrained_B:
+                    Ai = Ai + rhok[k] / 2 * (self.ZB[k] - self.UB[k])
                 self.B[k] = np.linalg.solve(Lk[k].T, Ai.T).T
                 Uu, _, Vt = np.linalg.svd(
                     (self.B[k] + self.mu[k]) @ self.DB.T,
@@ -302,6 +328,19 @@ class OracleParafac2:
             self.DB = num / rhok.sum()
             for k in range(self.K):
                 self.mu[k] = self.mu[k] + self.B[k] - self.P[k] @ self.DB
+            if constrained_B:
+                # slice-wise prox on TRUE sizes (:567-578) + residuals (:582-585)
+                prc = drc = 0.0
+                for k in range(self.K):
+                    oldZ = self.ZB[k]
+                    self.ZB[k] = self.bk_prox(self.B[k] + self.UB[k], rhok[k])
+                    self.UB[k] = self.UB[k] + self.B[k] - self.ZB[k]
+                    prc += _frob(self.B[k] - self.ZB[k]) / _frob(self.B[k])
+                    s = _frob(self.UB[k])
+                    d = _frob(oldZ - self.ZB[k])
+                    drc += d / s if s > 0 else d
+                prc /= self.K
+                drc /= self.K
             prk = sum(_frob(self.B[k] - self.P[k] @ self.DB)
                       / _frob(self.B[k]) for k in range(self.K)) / self.K
             drk = 0.0

@@ -65,15 +65,59 @@ def test_checkpoint_roundtrip_and_resume():
 
 def test_multistart_matches_sequential():
     from matlab_code_tpu.models.multistart import fit_multistart
+    from matlab_code_tpu.models.init import init_coupled as _init
     spec, data, init = _small_problem(with_par2=False)
     opts = AlgOptions(MaxOuterIters=60, AbsFuncTol=1e-10, OuterRelTol=1e-9)
     best_state, best_out, finals, stops = fit_multistart(
         spec, data, opts, init, n_starts=4, base_key=0)
     assert len(finals) == 4
-    assert best_out["f_tensors"] == np.nanmin(finals)
-    assert np.isfinite(best_out["f_tensors"])
+    assert best_out.f_tensors == np.nanmin(finals)
+    assert np.isfinite(best_out.f_tensors)
     # at least one start should solve this noiseless problem
-    assert best_out["f_tensors"] < 1e-6
+    assert best_out.f_tensors < 1e-6
+
+    # the best start's FitOutput equals a sequential fit from the same init
+    import jax
+    root = jax.random.PRNGKey(0)
+    best = int(np.nanargmin(finals))
+    st0 = _init(spec, data, init, key=jax.random.fold_in(root, best))
+    st_seq, out_seq = fit(spec, data, st0, opts)
+    assert out_seq.OuterIterations == best_out.OuterIterations
+    np.testing.assert_allclose(best_out.func_val_conv, out_seq.func_val_conv,
+                               rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(best_out.innerIters, out_seq.innerIters)
+    assert best_out.exit_flag == out_seq.exit_flag
+    for m in range(spec.nb_modes):
+        np.testing.assert_allclose(np.asarray(best_state.fac[m]),
+                                   np.asarray(st_seq.fac[m]), rtol=1e-10,
+                                   atol=1e-12)
+
+
+def test_multistart_par2_delayed_constraint():
+    """Multistart honors iter_start_PAR2Bkconstraint (two-phase split) and
+    matches the sequential fit start-for-start."""
+    from matlab_code_tpu.models.multistart import fit_multistart
+    from matlab_code_tpu.models.init import init_coupled as _init
+    import jax
+    spec, data, init = _small_problem(with_par2=True)
+    # constrain the Bk mode with a delayed start
+    spec = ProblemSpec(
+        mode_sizes=spec.mode_sizes, datasets=spec.datasets,
+        coupling=spec.coupling,
+        constraints=(ConstraintSpec("non-negativity"), None, None,
+                     ConstraintSpec("non-negativity"),
+                     ConstraintSpec("non-negativity"), None))
+    opts = AlgOptions(MaxOuterIters=40, AbsFuncTol=1e-10, OuterRelTol=1e-9,
+                      iter_start_PAR2Bkconstraint=10)
+    best_state, best_out, finals, stops = fit_multistart(
+        spec, data, opts, init, n_starts=3, base_key=0)
+    root = jax.random.PRNGKey(0)
+    best = int(np.nanargmin(finals))
+    st0 = _init(spec, data, init, key=jax.random.fold_in(root, best))
+    st_seq, out_seq = fit(spec, data, st0, opts)
+    assert out_seq.OuterIterations == best_out.OuterIterations
+    np.testing.assert_allclose(best_out.func_val_conv, out_seq.func_val_conv,
+                               rtol=1e-11, atol=1e-13)
 
 
 def test_profiling_utils():

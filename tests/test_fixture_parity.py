@@ -1,0 +1,154 @@
+"""Parity against the reference's SHIPPED data fixtures (data files only,
+loaded read-only from /root/reference at test time — no code is used):
+
+  * functions_for_example_scripts/gnd_factors.mat + noisy_dataset.mat —
+    script 11's tPARAFAC2 problem with the true generating factors
+    (example_script11_tPARAFAC2.m:20-42),
+  * data_for_example15/TrueDesign.mat — the real EEM/NMR/LCMS experiment's
+    29x5 chemical design matrix (example_script15_realdata.m:138).
+"""
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from matlab_code_tpu import (
+    ProblemSpec, DatasetSpec, CouplingSpec, ConstraintSpec, AlgOptions,
+    InitOptions)
+from matlab_code_tpu.problem import ProblemData, Parafac2Tensor
+from matlab_code_tpu.models.init import init_coupled
+from matlab_code_tpu.models.solver import fit
+from matlab_code_tpu.utils.score import fms, fms_par2_B
+
+REF = "/root/reference"
+FIX = os.path.join(REF, "functions_for_example_scripts")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(FIX, "gnd_factors.mat")),
+    reason="reference fixture data not mounted")
+
+
+def _loadmat(path):
+    import scipy.io as sio
+    return sio.loadmat(path)
+
+
+def test_script11_fixture_fms():
+    """Run the exact script-11 configuration (tPARAFAC2 eta=1000, nonneg C,
+    ridge [100,0,100], options example_script11:125-135) on the SHIPPED
+    noisy dataset and score against the SHIPPED ground-truth factors."""
+    g = _loadmat(os.path.join(FIX, "gnd_factors.mat"))
+    A_t, B_t, C_t = g["A"], g["B"], g["C"]          # (100,3),(25,80,3),(25,3)
+    ds = _loadmat(os.path.join(FIX, "noisy_dataset.mat"))["dataset"]
+    K, J, I, R = C_t.shape[0], B_t.shape[1], A_t.shape[0], 3
+    slices = [ds[:, :, k] for k in range(K)]
+
+    spec = ProblemSpec(
+        mode_sizes=(I, (J,) * K, K),
+        datasets=(DatasetSpec(model="PAR2", modes=(0, 1, 2), rank=R),),
+        coupling=CouplingSpec(lin_coupled_modes=(0, 0, 0), coupling_type=()),
+        constraints=(None, ConstraintSpec("tPARAFAC2", (1000.0,)),
+                     ConstraintSpec("non-negativity")),
+        ridge=(100.0, 0.0, 100.0))          # example_script11:77
+    data = ProblemData(objects=(Parafac2Tensor.from_list(slices),),
+                       coupl_trafo=(None,) * 3, coupl_trafo2=(None,) * 3)
+    init = InitOptions(distr=("rand",) * 3, normalize=False,
+                       lambdas_init=((1,) * R,))
+    state0 = init_coupled(spec, data, init, key=11)
+    opts = AlgOptions(MaxOuterIters=6000, MaxInnerIters=5, AbsFuncTol=1e-14,
+                      OuterRelTol=1e-8, innerRelPrTol_coupl=1e-4,
+                      innerRelPrTol_constr=1e-4, innerRelDualTol_coupl=1e-4,
+                      innerRelDualTol_constr=1e-4)
+    state, out = fit(spec, data, state0, opts)
+
+    assert out.exit_flag != "maxIterations"
+    A_e = np.asarray(state.fac[0])
+    C_e = np.asarray(state.fac[2])
+    Bk_e = [np.asarray(state.fac[1][k]) for k in range(K)]
+    # recovery of the true factors from the heavily noisy data (the whole
+    # point of the eta=1000 temporal smoothing)
+    assert fms([A_e], [A_t]) > 0.99
+    assert fms([C_e], [C_t]) > 0.99
+    assert fms_par2_B(Bk_e, [B_t[k] for k in range(K)]) > 0.95
+
+
+def test_script15_truedesign_recovery():
+    """Script-15 pipeline (type-4 selector coupling, 3 datasets, all nonneg)
+    with the REAL 29x5 TrueDesign.mat as the shared sample-mode ground
+    truth; the recovered consensus Delta must match the design."""
+    t = _loadmat(os.path.join(REF, "data_for_example15", "TrueDesign.mat"))
+    D5 = np.asarray(t["A"], float)                   # (29, 5)
+    D5 = D5 / np.linalg.norm(D5, axis=0, keepdims=True)
+    S = D5.shape[0]
+    rng = np.random.default_rng(15)
+    extra = rng.uniform(0.1, 1.0, size=(S, 1))
+    extra /= np.linalg.norm(extra)
+    Delta_t = np.hstack([D5, extra])                 # (29, 6)
+
+    # selector matrices (example_script15:47-51)
+    H0 = np.vstack([np.eye(3), np.zeros((3, 3))])
+    H3 = np.vstack([np.eye(5), np.zeros((1, 5))])
+    T = np.hstack([np.eye(4), np.zeros((4, 1))])
+    H6 = np.vstack([T, np.zeros((1, 5)),
+                    np.array([[0, 0, 0, 0, 1.0]])])
+    C1, C2, C3 = Delta_t @ H0, Delta_t @ H3, Delta_t @ H6
+
+    sizes = (S, 20, 12, S, 25, 8, S, 30)
+    facs = {1: rng.uniform(size=(20, 3)), 2: rng.uniform(size=(12, 3)),
+            4: rng.uniform(size=(25, 5)), 5: rng.uniform(size=(8, 5)),
+            7: rng.uniform(size=(30, 5))}
+    X1 = np.einsum("ir,jr,kr->ijk", C1, facs[1], facs[2])
+    X2 = np.einsum("ir,jr,kr->ijk", C2, facs[4], facs[5])
+    X3 = C3 @ facs[7].T
+    for X in (X1, X2, X3):
+        X += 0.01 * np.linalg.norm(X) / np.sqrt(X.size) * \
+            rng.standard_normal(X.shape)
+
+    NN = ConstraintSpec("non-negativity")
+    spec = ProblemSpec(
+        mode_sizes=sizes,
+        datasets=(DatasetSpec(model="CP", modes=(0, 1, 2), rank=3,
+                              weight=1 / 3),
+                  DatasetSpec(model="CP", modes=(3, 4, 5), rank=5,
+                              weight=1 / 3),
+                  DatasetSpec(model="CP", modes=(6, 7), rank=5,
+                              weight=1 / 3)),
+        coupling=CouplingSpec(lin_coupled_modes=(1, 0, 0, 1, 0, 0, 1, 0),
+                              coupling_type=(4,)),
+        constraints=(NN,) * 8)
+    norms = [np.linalg.norm(X) for X in (X1, X2, X3)]
+    data = ProblemData(
+        objects=(jnp.asarray(X1 / norms[0]), jnp.asarray(X2 / norms[1]),
+                 jnp.asarray(X3 / norms[2])),
+        coupl_trafo=(jnp.asarray(H0), None, None, jnp.asarray(H3), None,
+                     None, jnp.asarray(H6), None),
+        coupl_trafo2=(None,) * 8)
+    init = InitOptions(distr=("rand",) * 8, normalize=False,
+                       lambdas_init=((1,) * 3, (1,) * 5, (1,) * 5))
+    opts = AlgOptions(MaxOuterIters=4000, MaxInnerIters=5, AbsFuncTol=1e-10,
+                      OuterRelTol=1e-10)
+    best = None
+    for s in range(3):                    # best-of-starts (script15:113-130)
+        state0 = init_coupled(spec, data, init, key=s)
+        state, out = fit(spec, data, state0, opts)
+        if best is None or out.f_tensors < best[1].f_tensors:
+            best = (state, out)
+    state, out = best
+
+    # recovered consensus Delta columns match the real design (congruence
+    # after greedy matching, sign-free since everything is nonneg)
+    D_e = np.asarray(state.coupling_fac[0])          # (29, 6)
+    D_e = D_e / np.maximum(np.linalg.norm(D_e, axis=0, keepdims=True), 1e-12)
+    cong = np.abs(D5.T @ D_e)                        # (5, 6)
+    used = set()
+    scores = []
+    for r in range(5):
+        order = np.argsort(-cong[r])
+        for c in order:
+            if c not in used:
+                used.add(c)
+                scores.append(cong[r, c])
+                break
+    assert min(scores) > 0.95, scores

@@ -330,3 +330,68 @@ def test_oracle_parity_missing_em():
     for m in range(3):
         np.testing.assert_allclose(np.asarray(state.fac[m]), orc.fac[m],
                                    rtol=1e-7, atol=1e-9)
+
+
+def test_oracle_parity_ragged_bk_simplex():
+    """Ragged PARAFAC2 with a row-coupled (simplex) Bk constraint: the
+    size-bucketed slice-wise prox must reproduce the reference recurrence
+    (per-slice prox on true J_k, cmtf_fun_AOADMM.m:567-578) exactly."""
+    sizes = (9, 12, 9, 14)
+    K, I, R = len(sizes), 7, 2
+    spec = ProblemSpec(
+        mode_sizes=(I, sizes, K),
+        datasets=(DatasetSpec(model="PAR2", modes=(0, 1, 2), rank=R),),
+        coupling=CouplingSpec(lin_coupled_modes=(0, 0, 0), coupling_type=()),
+        constraints=(ConstraintSpec("non-negativity"),
+                     ConstraintSpec("simplex column-wise", (1.0,)),
+                     ConstraintSpec("non-negativity")))
+    data, _, _, _ = create_coupled_data(
+        spec, lambdas=[[1, 1]], noise=0.05,
+        distr=["rand", "randn", "rand+0.1"], rng=6, bk_style="orth")
+    data, _ = normalize_data(spec, data)
+    init = InitOptions(distr=("rand", "randn", "rand+0.1"), normalize=True,
+                       lambdas_init=((1, 1),))
+    state0 = init_coupled(spec, data, init, key=5)
+    T = 12
+    opts = AlgOptions(MaxOuterIters=T, AbsFuncTol=0.0, OuterRelTol=0.0)
+
+    state, out = fit(spec, data, state0, opts)
+
+    def np_simplex_cols(B, rho):
+        # Held/Wolfe/Crowder sort-based projection, columns onto {v>=0, sum=1}
+        out = np.empty_like(B)
+        for c in range(B.shape[1]):
+            v = B[:, c]
+            u = np.sort(v)[::-1]
+            css = np.cumsum(u) - 1.0
+            idx = np.arange(1, len(v) + 1)
+            k = np.nonzero(u - css / idx > 0)[0][-1]
+            tau = css[k] / (k + 1.0)
+            out[:, c] = np.maximum(v - tau, 0.0)
+        return out
+
+    slices = [np.asarray(data.objects[0].slices[k, :, :J])
+              for k, J in enumerate(sizes)]
+    orc = OracleParafac2(slices, state0, weight=1.0, sizes=sizes,
+                         bk_prox=np_simplex_cols)
+    znorm = float(compute_znorm_consts(spec, data, opts)[0])
+    fs, fps = [], []
+    for _ in range(T):
+        orc.sweep(opts)
+        f, fp = orc.objective(znorm)
+        fs.append(f)
+        fps.append(fp)
+
+    np.testing.assert_allclose(out.func_val_conv[1:], fs, rtol=1e-9,
+                               atol=1e-12)
+    np.testing.assert_allclose(out.func_PAR2_coupl[1:], fps, rtol=1e-8,
+                               atol=1e-12)
+    for k, J in enumerate(sizes):
+        np.testing.assert_allclose(np.asarray(state.fac[1][k, :J]),
+                                   orc.B[k], rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(state.fac[1][k, J:]), 0.0,
+                                   atol=1e-12)
+        # the simplex auxiliary columns sum to 1 on the true rows only
+        np.testing.assert_allclose(
+            np.asarray(state.constraint_fac[1][k, :J]).sum(axis=0),
+            1.0, rtol=1e-8)

@@ -171,3 +171,87 @@ def test_par2_C_mode_coupled_type1():
                       opts=OPTS, key=2)
     assert res["out"].f_tensors < 1e-6
     assert res["out"].f_couplings < 1e-3
+
+
+def test_prox_slicewise_ragged_matches_per_slice():
+    """The size-bucketed ragged slice-wise prox equals applying the same prox
+    per slice on exact-size matrices, for every row-coupled kind."""
+    import jax.numpy as jnp
+    from matlab_code_tpu.models.admm import prox_slicewise_ragged
+    from matlab_code_tpu.ops.prox import make_prox
+
+    sizes = (13, 17, 13, 11, 17, 17)
+    K, Jmax, R = len(sizes), max(sizes), 3
+    rng = np.random.default_rng(3)
+    Bs = np.zeros((K, Jmax, R))
+    for k, J in enumerate(sizes):
+        Bs[k, :J] = rng.normal(size=(J, R))
+    rho = jnp.asarray(rng.uniform(0.5, 2.0, size=K))
+    Bsj = jnp.asarray(Bs)
+
+    kinds = [ConstraintSpec("unimodality", (False,)),
+             ConstraintSpec("unimodality", (True,)),
+             ConstraintSpec("non-decreasing"),
+             ConstraintSpec("non-increasing"),
+             ConstraintSpec("simplex column-wise", (1.0,)),
+             ConstraintSpec("TV regularization", (0.3,)),
+             ConstraintSpec("l1-ball", (1.5,))]
+    for cs in kinds:
+        prox, _ = make_prox(cs, sizes[0])
+        out = np.asarray(prox_slicewise_ragged(prox, Bsj, rho, sizes))
+        for k, J in enumerate(sizes):
+            ref = np.asarray(prox(jnp.asarray(Bs[k, :J]), rho[k]))
+            np.testing.assert_allclose(out[k, :J], ref, rtol=1e-12,
+                                       atol=1e-14, err_msg=cs.kind)
+            np.testing.assert_allclose(out[k, J:], 0.0, atol=0.0,
+                                       err_msg=cs.kind)
+
+
+def test_irregular_par2_unimodal_bk():
+    """Script-4 x script-9 hybrid: RAGGED slice sizes + unimodality on Bk
+    (the reference supports this via per-slice proxes on true J_k,
+    cmtf_fun_AOADMM.m:567-578)."""
+    sizes = (26, 31, 24, 35, 29, 33)
+    spec = ProblemSpec(
+        mode_sizes=(8, sizes, len(sizes)),
+        datasets=(DatasetSpec(model="PAR2", modes=(0, 1, 2), rank=2),),
+        coupling=CouplingSpec(lin_coupled_modes=(0, 0, 0), coupling_type=()),
+        constraints=(None, ConstraintSpec("unimodality", (False,)),
+                     ConstraintSpec("non-negativity")))
+    opts = AlgOptions(MaxOuterIters=800, MaxInnerIters=10, AbsFuncTol=1e-9,
+                      OuterRelTol=1e-9, iter_start_PAR2Bkconstraint=30,
+                      increase_factor_rhoBk=10.0)
+    res = run_problem(spec, lambdas=[[1, 1]],
+                      distr=["randn", "rand", "rand+0.1"], opts=opts, key=2,
+                      bk_style="unimodal")
+    assert res["out"].f_tensors < 5e-2
+    Zb = np.asarray(res["state"].constraint_fac[1])
+    for k, J in enumerate(sizes):
+        # padded rows exactly zero
+        np.testing.assert_allclose(Zb[k, J:, :], 0.0, atol=0.0)
+        for r in range(2):
+            col = Zb[k, :J, r]
+            peak = int(np.argmax(col))
+            assert np.all(np.diff(col[:peak + 1]) >= -1e-8)
+            assert np.all(np.diff(col[peak:]) <= 1e-8)
+
+
+def test_irregular_par2_tv_bk():
+    """Ragged slices + TV regularization on Bk: converges and the padded
+    rows stay exactly zero through the Condat prox."""
+    sizes = (14, 19, 16, 21)
+    spec = ProblemSpec(
+        mode_sizes=(7, sizes, len(sizes)),
+        datasets=(DatasetSpec(model="PAR2", modes=(0, 1, 2), rank=2),),
+        coupling=CouplingSpec(lin_coupled_modes=(0, 0, 0), coupling_type=()),
+        constraints=(None, ConstraintSpec("TV regularization", (1e-4,)),
+                     ConstraintSpec("non-negativity")))
+    opts = AlgOptions(MaxOuterIters=1500, AbsFuncTol=1e-9, OuterRelTol=1e-9)
+    res = run_problem(spec, lambdas=[[1, 1]],
+                      distr=["randn", "randn", "rand+0.1"], opts=opts, key=2,
+                      bk_style="orth")
+    assert res["out"].f_tensors < 1e-3
+    assert _par2_fit(res, spec, 0) > 99.0
+    Bk = np.asarray(res["state"].fac[1])
+    for k, J in enumerate(sizes):
+        np.testing.assert_allclose(Bk[k, J:, :], 0.0, atol=1e-12)
