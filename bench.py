@@ -1,11 +1,14 @@
-"""Benchmark: AO-ADMM iterations/s on the flagship coupled-factorization
-workload (EEM/NMR/LCMS-class: one 3-way tensor + two matrices coupled on the
-sample mode, all nonneg, rank 16), on the real TPU chip.
+"""Benchmark: AO-ADMM iterations/s on the FLAGSHIP workload — the
+EEM/NMR/LCMS configuration of example_script15 (three datasets sharing the
+sample mode through a TYPE-4 selector coupling C_i = Delta H_i, all modes
+nonneg), scaled to production size, on the real TPU chip.  This exercises
+the normal-equation Delta solve (cmtf_fun_AOADMM.m:904-983) that the real
+workload pays for, not the cheap type-0 average path.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} plus
-supporting lines.  vs_baseline is the speedup over a pure-numpy CPU
-implementation of the identical sweep on this host (the reference publishes
-no numbers, BASELINE.md).
+supporting lines (secondary type-0 workload, MTTKRP GFLOP/s).  vs_baseline
+is the speedup over a pure-numpy CPU implementation of the identical sweep
+on this host (the reference publishes no numbers, BASELINE.md).
 """
 import json
 import time
@@ -23,14 +26,70 @@ from matlab_code_tpu.models.solver import (
     build_proxes, make_outer_step, init_cache)
 from matlab_code_tpu.ops.tensor import mttkrp
 
-# workload: sample mode 128, tensor 128x512x256, matrices 128x4096, 128x2048
-I, J1, J2 = 128, 512, 256
-M1, M2 = 4096, 2048
-R = 16
+# flagship (script-15-class, type-4 selector coupling):
+#   EEM-like   S x 512 x 256 3-way, rank 16 of 24 latent
+#   NMR-like   S x 1024 x 64 3-way, rank 20 of 24 latent
+#   LCMS-like  S x 4096 matrix,     rank 20 of 24 latent
+S = 128
+RTOT = 24
+R1, R2, R3 = 16, 20, 20
 N_ITERS = 30
 
 
+def _selectors(rng):
+    """Column-selector H_i (RTOT, R_i) like example_script15:47-51."""
+    H1 = np.zeros((RTOT, R1))
+    H1[np.arange(R1), np.arange(R1)] = 1.0
+    H2 = np.zeros((RTOT, R2))
+    H2[np.arange(R2), np.arange(R2)] = 1.0
+    H3 = np.zeros((RTOT, R3))
+    # permuted/partial block like the reference's T matrix
+    cols = rng.permutation(RTOT)[:R3]
+    H3[cols, np.arange(R3)] = 1.0
+    return H1, H2, H3
+
+
 def build_problem():
+    NN = ConstraintSpec("non-negativity")
+    spec = ProblemSpec(
+        mode_sizes=(S, 512, 256, S, 1024, 64, S, 4096),
+        datasets=(
+            DatasetSpec(model="CP", modes=(0, 1, 2), rank=R1, weight=1 / 3),
+            DatasetSpec(model="CP", modes=(3, 4, 5), rank=R2, weight=1 / 3),
+            DatasetSpec(model="CP", modes=(6, 7), rank=R3, weight=1 / 3)),
+        coupling=CouplingSpec(lin_coupled_modes=(1, 0, 0, 1, 0, 0, 1, 0),
+                              coupling_type=(4,)),
+        constraints=(NN,) * 8)
+    rng = np.random.default_rng(0)
+    dt = jnp.result_type(float)
+    H1, H2, H3 = _selectors(rng)
+    Delta = rng.uniform(size=(S, RTOT)).astype(dt)
+    C1, C2, C3 = Delta @ H1, Delta @ H2, Delta @ H3
+    f = {m: rng.uniform(size=(spec.mode_sizes[m],
+                              spec.datasets[spec.which_p(m)].rank)).astype(dt)
+         for m in (1, 2, 4, 5, 7)}
+    X1 = np.einsum("ir,jr,kr->ijk", C1, f[1], f[2])
+    X2 = np.einsum("ir,jr,kr->ijk", C2, f[4], f[5])
+    X3 = C3 @ f[7].T
+    from matlab_code_tpu.problem import ProblemData
+    data = ProblemData(
+        objects=(jnp.asarray(X1 / np.linalg.norm(X1)),
+                 jnp.asarray(X2 / np.linalg.norm(X2)),
+                 jnp.asarray(X3 / np.linalg.norm(X3))),
+        coupl_trafo=(jnp.asarray(H1.astype(dt)), None, None,
+                     jnp.asarray(H2.astype(dt)), None, None,
+                     jnp.asarray(H3.astype(dt)), None),
+        coupl_trafo2=(None,) * 8)
+    opts = AlgOptions(MaxOuterIters=N_ITERS, MaxInnerIters=5)
+    init = InitOptions(distr=("rand",) * 8, normalize=True,
+                       lambdas_init=((1,) * R1, (1,) * R2, (1,) * R3))
+    state = init_coupled(spec, data, init, key=1)
+    return spec, data, state, opts, (H1, H2, H3)
+
+
+def build_problem_type0():
+    """Secondary workload: round-1's type-0 exact-coupling config."""
+    I, J1, J2, M1, M2, R = 128, 512, 256, 4096, 2048, 16
     spec = ProblemSpec(
         mode_sizes=(I, J1, J2, I, M1, I, M2),
         datasets=(
@@ -57,7 +116,7 @@ def build_problem():
     return spec, data, state, opts
 
 
-def bench_tpu(spec, data, state, opts):
+def bench_tpu(spec, data, state, opts, measure_mttkrp=True):
     proxes, reg_fns = build_proxes(spec)
     step = make_outer_step(spec, opts, proxes, reg_fns, True)
     grams, colnorms = init_cache(spec, state)
@@ -79,39 +138,59 @@ def bench_tpu(spec, data, state, opts):
         np.asarray(out[0].fac[0])
         dt_iter = min(dt_iter, (time.perf_counter() - t0) / N_ITERS)
     assert bool(jnp.all(jnp.isfinite(out[0].fac[0])))
+    if not measure_mttkrp:
+        return 1.0 / dt_iter, None
 
-    # MTTKRP roofline measurement on the big tensor
+    # MTTKRP throughput on the big tensor — loop INSIDE jit with a
+    # jnp.sum data dependency between iterations (per-call dispatch on the
+    # tunnel is ~0.9 ms and would dominate a per-call timing, CLAUDE.md).
+    # NOTE: this tensor (67 MB) is VMEM-resident, so this measures on-chip
+    # throughput; the HBM roofline statement lives in docs/ROOFLINE.md
+    # (683 GB/s = 83% of peak on a 537 MB tensor).
     X = data.objects[0]
-    facs = [out[0].fac[m] for m in (0, 1, 2)]
+    p0 = spec.datasets[0]
+    facs = [out[0].fac[m] for m in p0.modes]
+    reps = 50
 
     @jax.jit
-    def mtt(X, facs):
-        return mttkrp(X, facs, 0)
+    def mtt_loop(X, facs):
+        def body(i, c):
+            b, c2, acc = c
+            A0 = mttkrp(X, [facs[0], b, c2], 0)
+            s = jnp.sum(A0)   # consume ALL of A0 so XLA cannot slice X
+            return (b + 1e-30 * s, c2 + 1e-30 * s, acc + s)
+        return jax.lax.fori_loop(
+            0, reps, body, (facs[1], facs[2], jnp.zeros((), X.dtype)))
 
-    np.asarray(mtt(X, facs))
-    reps = 20
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        r = mtt(X, facs)
-    np.asarray(r)
-    t_mtt = (time.perf_counter() - t0) / reps
+    np.asarray(mtt_loop(X, facs)[2])
+    t_mtt = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(mtt_loop(X, facs)[2])
+        t_mtt = min(t_mtt, (time.perf_counter() - t0) / reps)
+    I, J1, J2 = X.shape
+    R = p0.rank
     flops = 2 * I * J1 * J2 * R + 2 * I * J1 * R  # contraction chain
     return 1.0 / dt_iter, flops / t_mtt / 1e9
 
 
-def bench_numpy_baseline(spec, data, state, opts, iters=3):
-    """Identical sweep in pure numpy on host CPU (ALS + nonneg ADMM)."""
-    facs = [np.asarray(state.fac[m], np.float64) for m in range(7)]
-    Z = [np.asarray(state.constraint_fac[m], np.float64) for m in range(7)]
-    U = [np.asarray(state.constraint_dual_fac[m], np.float64) for m in range(7)]
+def bench_numpy_baseline(spec, data, state, opts, Hs, iters=3):
+    """Identical type-4 coupled sweep in pure numpy on host CPU."""
+    nb = spec.nb_modes
+    facs = [np.asarray(state.fac[m], np.float64) for m in range(nb)]
+    Z = [np.asarray(state.constraint_fac[m], np.float64) for m in range(nb)]
+    U = [np.asarray(state.constraint_dual_fac[m], np.float64)
+         for m in range(nb)]
     Delta = np.asarray(state.coupling_fac[0], np.float64)
     muD = [np.asarray(state.coupling_dual_fac[m], np.float64)
            if state.coupling_dual_fac[m] is not None else None
-           for m in range(7)]
+           for m in range(nb)]
     Xs = [np.asarray(data.objects[p], np.float64) for p in range(3)]
+    H = {0: Hs[0], 3: Hs[1], 6: Hs[2]}
     grams = [f.T @ f for f in facs]
-    datasets = [((0, 1, 2), Xs[0], 1 / 3), ((3, 4), Xs[1], 1 / 3),
-                ((5, 6), Xs[2], 1 / 3)]
+    datasets = [((0, 1, 2), Xs[0], 1 / 3), ((3, 4, 5), Xs[1], 1 / 3),
+                ((6, 7), Xs[2], 1 / 3)]
+    coupled = (0, 3, 6)
 
     def np_mttkrp(X, modes, local):
         if X.ndim == 3:
@@ -128,29 +207,9 @@ def bench_numpy_baseline(spec, data, state, opts, iters=3):
         # uncoupled constrained modes (cid 0)
         for modes, X, w in datasets:
             for local, m in enumerate(modes):
-                if m in (0, 3, 5):
+                if m in coupled:
                     continue
-                A = w * np_mttkrp(X, modes, local)
-                C = np.ones((R, R))
-                for i, mm in enumerate(modes):
-                    if i != local:
-                        C *= grams[mm]
-                rho = np.trace(C) / R
-                B = w * C + rho / 2 * np.eye(R)
-                L = np.linalg.cholesky(B)
-                for _inner in range(opts.MaxInnerIters):
-                    Ai = A + rho / 2 * (Z[m] - U[m])
-                    f = np.linalg.solve(B, Ai.T).T
-                    Z[m] = np.maximum(f + U[m], 0)
-                    U[m] = U[m] + f - Z[m]
-                facs[m] = f
-                grams[m] = f.T @ f
-        # coupled modes
-        pre = {}
-        for modes, X, w in datasets:
-            for local, m in enumerate(modes):
-                if m not in (0, 3, 5):
-                    continue
+                R = facs[m].shape[1]
                 A = w * np_mttkrp(X, modes, local)
                 C = np.ones((R, R))
                 for i, mm in enumerate(modes):
@@ -158,34 +217,75 @@ def bench_numpy_baseline(spec, data, state, opts, iters=3):
                         C *= grams[mm]
                 rho = np.trace(C) / R
                 B = w * C + rho * np.eye(R)
+                for _inner in range(opts.MaxInnerIters):
+                    Ai = A + rho / 2 * (Z[m] - U[m])
+                    f = np.linalg.solve(B, Ai.T).T
+                    Z[m] = np.maximum(f + U[m], 0)
+                    U[m] = U[m] + f - Z[m]
+                facs[m] = f
+                grams[m] = f.T @ f
+        # coupled modes: type-4 ADMM (cmtf_fun_AOADMM.m:904-983)
+        pre = {}
+        for modes, X, w in datasets:
+            for local, m in enumerate(modes):
+                if m not in coupled:
+                    continue
+                R = facs[m].shape[1]
+                A = w * np_mttkrp(X, modes, local)
+                C = np.ones((R, R))
+                for i, mm in enumerate(modes):
+                    if i != local:
+                        C *= grams[mm]
+                rho = np.trace(C) / R
+                B = w * C + rho * np.eye(R)   # coupling + constraint terms
                 pre[m] = (A, B, rho)
         for _inner in range(opts.MaxInnerIters):
-            for m in (0, 3, 5):
+            for m in coupled:
                 A, B, rho = pre[m]
-                Ai = A + rho / 2 * (Delta - muD[m]) + rho / 2 * (Z[m] - U[m])
+                Ai = A + rho / 2 * (Delta @ H[m] - muD[m]) \
+                    + rho / 2 * (Z[m] - U[m])
                 facs[m] = np.linalg.solve(B, Ai.T).T
-            num = sum(pre[m][2] * (facs[m] + muD[m]) for m in (0, 3, 5))
-            Delta = num / sum(pre[m][2] for m in (0, 3, 5))
-            for m in (0, 3, 5):
-                muD[m] = muD[m] + facs[m] - Delta
+            # Delta from normal equations AA = sum rho H H^T
+            AA = sum(pre[m][2] * (H[m] @ H[m].T) for m in coupled)
+            BB = sum(pre[m][2] * (facs[m] + muD[m]) @ H[m].T
+                     for m in coupled)
+            Delta = np.linalg.solve(AA.T, BB.T).T
+            for m in coupled:
+                muD[m] = muD[m] + facs[m] - Delta @ H[m]
                 Z[m] = np.maximum(facs[m] + U[m], 0)
                 U[m] = U[m] + facs[m] - Z[m]
-        for m in (0, 3, 5):
+        for m in coupled:
             grams[m] = facs[m].T @ facs[m]
     return (time.perf_counter() - t0) / iters
 
 
 def main():
+    t_start = time.perf_counter()
     dev = jax.devices()[0]
-    spec, data, state, opts = build_problem()
-    iters_per_s, mttkrp_gflops = bench_tpu(spec, data, state, opts)
-    t_np = bench_numpy_baseline(spec, data, state, opts)
-    np_iters_per_s = 1.0 / t_np
     print(f"# device: {dev}", flush=True)
+    spec, data, state, opts, Hs = build_problem()
+    print(f"# built problem [{time.perf_counter() - t_start:.0f}s]",
+          flush=True)
+    iters_per_s, mttkrp_gflops = bench_tpu(spec, data, state, opts)
+    print(f"# tpu flagship done [{time.perf_counter() - t_start:.0f}s]",
+          flush=True)
+    t_np = bench_numpy_baseline(spec, data, state, opts, Hs)
+    np_iters_per_s = 1.0 / t_np
+    print(f"# numpy baseline done [{time.perf_counter() - t_start:.0f}s]",
+          flush=True)
+
+    # secondary workload only if the 590 s driver budget allows
+    iters_per_s_t0 = float("nan")
+    if time.perf_counter() - t_start < 300:
+        spec0, data0, state0, opts0 = build_problem_type0()
+        iters_per_s_t0, _ = bench_tpu(spec0, data0, state0, opts0,
+                                      measure_mttkrp=False)
+
     print(f"# mttkrp_gflops_per_s: {mttkrp_gflops:.1f}")
     print(f"# numpy_cpu_iters_per_s: {np_iters_per_s:.3f}")
+    print(f"# secondary_type0_iters_per_s: {iters_per_s_t0:.3f}")
     print(json.dumps({
-        "metric": "aoadmm_iters_per_s",
+        "metric": "aoadmm_iters_per_s_eem_nmr_lcms_type4",
         "value": round(iters_per_s, 3),
         "unit": "outer_iters/s",
         "vs_baseline": round(iters_per_s / np_iters_per_s, 2),

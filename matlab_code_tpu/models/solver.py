@@ -118,7 +118,9 @@ def _chol_rcond_bad(L, tol: float):
 
 
 def make_outer_step(spec: ProblemSpec, options: AlgOptions, proxes, reg_fns,
-                    bk_constraint_active: bool):
+                    bk_constraint_active: bool, mttkrp_impls=None):
+    """mttkrp_impls: optional {(p, local_mode): fn} explicit-collective
+    MTTKRPs (parallel/shard_mttkrp.py build_sharded_mttkrps)."""
     lbfgs_steps = {}
     for p, ds in enumerate(spec.datasets):
         if ds.loss != "Frobenius":
@@ -168,8 +170,11 @@ def make_outer_step(spec: ProblemSpec, options: AlgOptions, proxes, reg_fns,
                     R = ds.rank
                     if role == "cp":
                         if frob:
+                            impl = (mttkrp_impls or {}).get(
+                                (p, ds.modes.index(m)))
                             pre = cp_mode_precompute(spec, data, state, grams,
-                                                     p, m, options, partials)
+                                                     p, m, options, partials,
+                                                     mttkrp_impl=impl)
                             cached[p] = (pre.last_mttkrp, pre.last_had,
                                          ds.modes.index(m))
                         else:
@@ -419,16 +424,23 @@ _RUNNER_CACHE_MAX = 32   # LRU bound: compiled runners pin device memory
 
 
 def _get_phase_runner(spec: ProblemSpec, options: AlgOptions,
-                      bk_active: bool, miss_flag: bool):
+                      bk_active: bool, miss_flag: bool, mesh=None, data=None):
     """Compiled multi-iteration runner.  `last_it` is a TRACED argument, so
     one compiled program serves any chunk length (used by fit() both for the
-    full phase and for time_at_it chunking)."""
-    key = (spec, options, bk_active, miss_flag)
+    full phase and for time_at_it chunking).  When `mesh` is given, CP
+    MTTKRPs run through the explicit shard_map collectives."""
+    key = (spec, options, bk_active, miss_flag, mesh)
     if key in _RUNNER_CACHE:
         _RUNNER_CACHE[key] = _RUNNER_CACHE.pop(key)   # mark most-recent
         return _RUNNER_CACHE[key]
     proxes, reg_fns = build_proxes(spec)
-    outer_step = make_outer_step(spec, options, proxes, reg_fns, bk_active)
+    impls = None
+    if mesh is not None:
+        from matlab_code_tpu.parallel.shard_mttkrp import \
+            build_sharded_mttkrps
+        impls = build_sharded_mttkrps(spec, data, mesh)
+    outer_step = make_outer_step(spec, options, proxes, reg_fns, bk_active,
+                                 mttkrp_impls=impls)
     nb_modes = spec.nb_modes
 
     def run(state, data, znorms, hist, f4, frm, it0, last_it, grams,
@@ -655,8 +667,13 @@ def fit_stepwise(spec: ProblemSpec, data: ProblemData, state: SolverState,
 
 
 def fit(spec: ProblemSpec, data: ProblemData, state: SolverState,
-        options: AlgOptions, validate: bool = True):
-    """Run AO-ADMM to convergence.  Returns (state, FitOutput)."""
+        options: AlgOptions, validate: bool = True, mesh=None):
+    """Run AO-ADMM to convergence.  Returns (state, FitOutput).
+
+    mesh: optional jax.sharding.Mesh — route every shardable >=3-way CP
+    MTTKRP through the explicit shard_map collective path (psum of partial
+    MTTKRPs over the mesh axis, parallel/shard_mttkrp.py) instead of letting
+    XLA derive the partitioning from input shardings."""
     if validate:
         check_data_input(spec, data)
         _warn_loss_data(spec, data)
@@ -709,7 +726,8 @@ def fit(spec: ProblemSpec, data: ProblemData, state: SolverState,
     for last_it, active in phases:
         if stop or int(it) > last_it:
             continue
-        runner = _get_phase_runner(spec, options, active, miss_flag)
+        runner = _get_phase_runner(spec, options, active, miss_flag,
+                                   mesh=mesh, data=data)
         while not stop and int(it) <= last_it:
             chunk_end = min(last_it, int(it) + chunk - 1) if chunk > 0 \
                 else last_it

@@ -33,8 +33,8 @@ def _ridge_eye(spec: ProblemSpec, m: int, R: int, dtype) -> jnp.ndarray | None:
 
 
 def cp_mode_precompute(spec: ProblemSpec, data: ProblemData, state, grams,
-                       p: int, m: int, options, partials: dict | None = None
-                       ) -> ModePre:
+                       p: int, m: int, options, partials: dict | None = None,
+                       mttkrp_impl=None) -> ModePre:
     """CP / matrix mode precompute (cmtf_fun_AOADMM.m:96-127).
 
     partials: optional per-sweep dimension-tree cache.  For 3-way tensors the
@@ -43,6 +43,9 @@ def cp_mode_precompute(spec: ProblemSpec, data: ProblemData, state, grams,
     by the identity of the mode-0 factor's traced value, so Gauss-Seidel
     ordering is preserved exactly: a T1 built from a stale A is never reused
     after A updates.
+
+    mttkrp_impl: optional explicit-collective MTTKRP (shard_map path,
+    parallel/shard_mttkrp.py) replacing the einsum for this (dataset, mode).
     """
     from matlab_code_tpu.problem import SparseTensor
     from matlab_code_tpu.ops.tensor import mttkrp_sparse
@@ -51,7 +54,11 @@ def cp_mode_precompute(spec: ProblemSpec, data: ProblemData, state, grams,
     w = ds.weight
     R = ds.rank
     local = ds.modes.index(m)
-    if isinstance(X, SparseTensor):
+    if mttkrp_impl is not None and not isinstance(X, SparseTensor) \
+            and X.ndim >= 3:
+        A = w * mttkrp_impl(X, tuple(state.fac[j] for j in ds.modes))
+        C = hadamard_grams([grams[j] for j in ds.modes if j != m])
+    elif isinstance(X, SparseTensor):
         A = w * mttkrp_sparse(X.indices, X.values,
                               [state.fac[j] for j in ds.modes], local,
                               spec.mode_sizes[m])

@@ -12,10 +12,11 @@ once and fuses both contractions:
 The j-grid axis is innermost, so the out block stays resident in VMEM across
 the accumulation.
 
-STATUS: experimental kernel baseline, not wired into the solver — on-chip
-A/B showed XLA's einsum path faster for the bench shapes (0.36 vs 0.44 ms),
-so ops/tensor.mttkrp remains the production path.  Kept (with tests) as the
-starting point for further Mosaic tuning.
+STATUS: experimental kernel baseline, not wired into the solver.  Round-2
+HBM-scale A/B (537 MB X, in-jit loops, docs/ROOFLINE.md): XLA einsum
+sustains 683 GB/s (83% of v5e HBM peak) vs 464 GB/s for this kernel's best
+tile, so ops/tensor.mttkrp remains the production path — the roof is HBM
+bandwidth and XLA is within 1.2x of it.  Kept (with tests) as a baseline.
 """
 from __future__ import annotations
 

@@ -44,3 +44,34 @@ def make_sharded_mttkrp(mesh: Mesh, axis: str, ndim: int, shard_dim: int,
         return jax.lax.psum(local, axis)
 
     return f
+
+
+def build_sharded_mttkrps(spec, data, mesh, axis=None):
+    """Explicit-collective MTTKRP implementations for every >=3-way CP
+    dataset whose longest mesh-divisible mode can be sharded.
+
+    Returns {(p, target_local_mode): fn(X, factors) -> mttkrp} for use by
+    make_outer_step(..., mttkrp_impls=...) — the row-sharded option of
+    SURVEY.md §2.3 with its collectives (one psum or tiled all_gather of an
+    (I_m, R) matrix per mode update) pinned by hand instead of derived by
+    XLA from sharding annotations.
+    """
+    from matlab_code_tpu.problem import CP
+    from matlab_code_tpu.parallel.sharding import (
+        choose_cp_shard_mode, DATA_AXIS)
+    axis = axis or DATA_AXIS
+    n = mesh.devices.size
+    impls = {}
+    for p, ds in enumerate(spec.datasets):
+        if ds.model != CP:
+            continue
+        X = data.objects[p]
+        if getattr(X, "ndim", 0) < 3:
+            continue
+        local = choose_cp_shard_mode(spec, p, n)
+        if local is None:
+            continue
+        for target in range(X.ndim):
+            impls[(p, target)] = make_sharded_mttkrp(
+                mesh, axis, X.ndim, local, target)
+    return impls

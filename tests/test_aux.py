@@ -134,8 +134,39 @@ def test_profiling_utils():
     assert "GFLOP" in rep
 
 
-def test_sharded_fit_matches_single_device():
+def test_sharded_step_matches_single_device():
     """The sharded multi-device step computes the same numbers as the
-    single-device step (8 virtual CPU devices)."""
+    single-device step (8 virtual CPU devices) — dryrun_multichip asserts
+    elementwise factor equality to 1e-10, not just finiteness."""
     import __graft_entry__ as ge
-    ge.dryrun_multichip(8)   # executes one fully sharded step + finiteness
+    ge.dryrun_multichip(8)
+
+
+def test_sharded_full_fit_matches_single_device():
+    """A FULL fit() with the production shardings (CP data mode-sharded,
+    PARAFAC2 slice-sharded over 8 virtual devices) reproduces the
+    single-device trajectory and final factors."""
+    import __graft_entry__ as ge
+    from matlab_code_tpu.parallel.sharding import (
+        make_mesh, data_shardings, state_shardings)
+    spec, data, state, _ = ge._flagship(I0=16, J1=12, J2=16, K=8, Jb=10, R=3)
+    opts = AlgOptions(MaxOuterIters=40, AbsFuncTol=0.0, OuterRelTol=0.0)
+
+    st_ref, out_ref = fit(spec, data, state, opts)
+
+    mesh = make_mesh(8)
+    data_sh, sharded_modes = data_shardings(spec, data, mesh)
+    state_sh = state_shardings(spec, state, mesh, sharded_modes)
+    data_s = jax.device_put(data, data_sh)
+    state_s = jax.device_put(state, state_sh)
+    st_sh, out_sh = fit(spec, data_s, state_s, opts)
+
+    np.testing.assert_allclose(out_sh.func_val_conv, out_ref.func_val_conv,
+                               rtol=1e-11, atol=1e-13)
+    np.testing.assert_allclose(out_sh.func_coupl_conv, out_ref.func_coupl_conv,
+                               rtol=1e-9, atol=1e-12)
+    for m in range(spec.nb_modes):
+        np.testing.assert_allclose(np.asarray(st_sh.fac[m]),
+                                   np.asarray(st_ref.fac[m]),
+                                   rtol=1e-9, atol=1e-11)
+    assert out_sh.OuterIterations == out_ref.OuterIterations

@@ -31,10 +31,14 @@ def test_script01a():
     cfg, res = _run("script01a_cp_par2_smooth_l2ball")
     fit, fms_cp = res["report"][0]
     assert fit > 99.0
+    assert fms_cp > 0.99          # CP factors recovered under the l2-ball
     # the eta=1 GL-smoothness regularizer on Bk intentionally trades fit for
     # smoothness at these (normalized) data scales
-    fitp = res["report"][1][0]
+    fitp, sA, sB, sC = res["report"][1]
     assert fitp > 90.0
+    assert sA > 0.99              # coupled A mode fully recovered
+    assert sC > 0.9               # nonneg-l2-ball C mode recovered
+    assert sB > 0.7               # Bk biased by the smoothness penalty
 
 
 def test_script02():
@@ -48,6 +52,8 @@ def test_script03():
     fit1, fms1 = res["report"][0]
     fit2, fms2 = res["report"][1]
     assert fit1 > 99.0 and fit2 > 99.0
+    assert fms1 > 0.99            # 3-way CP factors recovered
+    assert fms2 > 0.85            # matrix factors (non-convex l2-sphere mode)
 
 
 def test_script04():

@@ -28,3 +28,51 @@ def test_sharded_mttkrp_psum_and_gather():
         got = np.asarray(jax.jit(f)(Xsh, fsh))
         want = np.asarray(mttkrp(X, list(facs), target))
         np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
+def test_fit_with_explicit_shard_map_matches_plain():
+    """fit(..., mesh=mesh) routes CP MTTKRPs through the explicit shard_map
+    collectives and reproduces the plain fit's trajectory and factors."""
+    from matlab_code_tpu import (
+        ProblemSpec, DatasetSpec, CouplingSpec, ConstraintSpec, AlgOptions,
+        InitOptions)
+    from matlab_code_tpu.models.init import init_coupled
+    from matlab_code_tpu.models.solver import fit
+    from matlab_code_tpu.utils.datagen import create_coupled_data, \
+        normalize_data
+    from matlab_code_tpu.parallel.sharding import data_shardings, \
+        state_shardings
+
+    spec = ProblemSpec(
+        mode_sizes=(16, 12, 10, 16, 14),
+        datasets=(DatasetSpec(model="CP", modes=(0, 1, 2), rank=2,
+                              weight=0.5),
+                  DatasetSpec(model="CP", modes=(3, 4), rank=2, weight=0.5)),
+        coupling=CouplingSpec(lin_coupled_modes=(1, 0, 0, 1, 0),
+                              coupling_type=(0,)),
+        constraints=(ConstraintSpec("non-negativity"), None, None,
+                     ConstraintSpec("non-negativity"), None))
+    data, _, _, _ = create_coupled_data(
+        spec, lambdas=[[1, 1], [1, 1]], noise=0.02,
+        distr=["rand", "randn", "randn", "rand", "randn"], rng=4)
+    data, _ = normalize_data(spec, data)
+    init = InitOptions(distr=("rand", "randn", "randn", "rand", "randn"),
+                       normalize=True, lambdas_init=((1, 1), (1, 1)))
+    state0 = init_coupled(spec, data, init, key=3)
+    opts = AlgOptions(MaxOuterIters=25, AbsFuncTol=0.0, OuterRelTol=0.0)
+
+    st_ref, out_ref = fit(spec, data, state0, opts)
+
+    mesh = make_mesh(8)
+    data_sh, sharded_modes = data_shardings(spec, data, mesh)
+    st_sh, out_sh = fit(spec, jax.device_put(data, data_sh),
+                        jax.device_put(state0,
+                                       state_shardings(spec, state0, mesh,
+                                                       sharded_modes)),
+                        opts, mesh=mesh)
+    np.testing.assert_allclose(out_sh.func_val_conv, out_ref.func_val_conv,
+                               rtol=1e-11, atol=1e-13)
+    for m in range(spec.nb_modes):
+        np.testing.assert_allclose(np.asarray(st_sh.fac[m]),
+                                   np.asarray(st_ref.fac[m]),
+                                   rtol=1e-9, atol=1e-11)
