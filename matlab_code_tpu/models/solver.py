@@ -679,7 +679,9 @@ def fit(spec: ProblemSpec, data: ProblemData, state: SolverState,
         _warn_loss_data(spec, data)
     miss_flag = has_missing(data)
     znorms = compute_znorm_consts(spec, data, options)
-    dt = np.asarray(state.fac[0]).dtype
+    # .dtype (not np.asarray) so a cross-process sharded factor (multi-host
+    # fit via parallel/distributed.py) is never pulled to the host here
+    dt = np.dtype(state.fac[0].dtype)
     T = options.MaxOuterIters
 
     proxes, reg_fns = build_proxes(spec)

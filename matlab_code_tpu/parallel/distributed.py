@@ -1,17 +1,25 @@
-"""Multi-host initialization helper.
+"""Multi-host / multi-process backend for the coupled solver.
 
-On a multi-host TPU slice, call `initialize()` (or jax.distributed.initialize
-directly) in every process before building a mesh; `make_global_mesh` then
-spans all hosts' devices, and the sharding layouts in parallel/sharding.py
-place ICI collectives within a slice and DCN collectives across slices
-exactly as jax/XLA derive them from the device order.
+The reference is single-process MATLAB (SURVEY.md §2.3); this module is the
+distributed runtime the TPU build adds.  On a multi-host TPU slice, every
+process calls `initialize()` before building a mesh; `make_global_mesh`
+then spans all hosts' devices, and the sharding layouts in
+parallel/sharding.py place ICI collectives within a slice and DCN
+collectives across slices exactly as jax/XLA derive them from the device
+order.
 
-This box has a single chip; the multi-host path is exercised structurally by
-the 8-virtual-device CPU tests and `__graft_entry__.dryrun_multichip`.
+Host-local numpy data becomes global (cross-process) jax.Arrays through
+`globalize` / `globalize_tree`; results come back to every host through
+`fetch` / `fetch_tree`.  The full loop — initialize, globalize the problem
+pytrees with the production shardings, run `fit()` over the global mesh,
+fetch factors — is exercised for real (two OS processes, gloo-backed
+cross-process collectives, numeric equality vs the single-process fit) by
+`tests/test_distributed.py` + `tests/distributed_worker.py`.
 """
 from __future__ import annotations
 
 import jax
+import numpy as np
 
 
 def initialize(coordinator_address: str | None = None,
@@ -29,7 +37,53 @@ def initialize(coordinator_address: str | None = None,
     jax.distributed.initialize(**kwargs)
 
 
+def shutdown() -> None:
+    jax.distributed.shutdown()
+
+
 def make_global_mesh(axis: str = "d"):
     """Mesh over every device of every participating process."""
     from matlab_code_tpu.parallel.sharding import make_mesh
     return make_mesh(devices=jax.devices())
+
+
+def globalize(x, sharding):
+    """Host-local numpy value -> global jax.Array with `sharding`.
+
+    Every process must hold the SAME full value of `x` (the coupled-fit
+    problem is deterministic from its seed, so each host rebuilds it);
+    each process then donates only the shards it is responsible for.
+    """
+    if x is None:
+        return None
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding,
+                                        lambda idx: x[idx])
+
+
+def globalize_tree(tree, shardings):
+    """Map `globalize` over a pytree and a matching sharding pytree
+    (None sharding leaves pass through untouched — they stay host values)."""
+    return jax.tree.map(
+        lambda x, s: x if s is None else globalize(x, s), tree, shardings,
+        is_leaf=lambda x: x is None)
+
+
+def fetch(x) -> np.ndarray:
+    """Global jax.Array -> full numpy value on every process.
+
+    Fully-addressable or fully-replicated arrays convert directly; a
+    cross-process sharded array is first re-replicated (an all-gather over
+    the mesh) by an identity jit with replicated out_shardings.
+    """
+    if not isinstance(x, jax.Array):
+        return np.asarray(x)
+    if x.is_fully_addressable or x.is_fully_replicated:
+        return np.asarray(x)
+    from jax.sharding import NamedSharding, PartitionSpec
+    rep = NamedSharding(x.sharding.mesh, PartitionSpec())
+    return np.asarray(jax.jit(lambda a: a, out_shardings=rep)(x))
+
+
+def fetch_tree(tree):
+    return jax.tree.map(fetch, tree)

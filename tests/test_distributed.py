@@ -1,0 +1,79 @@
+"""Real multi-process exercise of the distributed backend.
+
+SURVEY.md §2.3: the reference is serial MATLAB; the TPU build's multi-host
+story is jax.distributed + the sharding layouts of parallel/sharding.py.
+This test runs it for REAL on one machine: two OS processes, each owning 4
+virtual CPU devices, joined by jax.distributed.initialize into one
+8-device runtime whose cross-process collectives go through gloo (the DCN
+analogue).  Both workers run the full fit() over the global mesh with the
+production shardings and assert numeric equality (trajectory rtol 1e-11,
+factors 1e-9) against the single-process baseline computed here.
+
+This is the same problem/options/mesh-size as
+test_aux.py::test_sharded_full_fit_matches_single_device — that test pins
+single-process/8-device equality, this one pins 2-process/8-device.
+"""
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import __graft_entry__ as ge
+from matlab_code_tpu.models.solver import fit
+from matlab_code_tpu.options import AlgOptions
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_fit_matches_single_process(tmp_path):
+    # single-process baseline (this pytest process: 8 virtual devices, but
+    # the un-meshed fit runs on one)
+    spec, data, state, _ = ge._flagship(I0=16, J1=12, J2=16, K=8, Jb=10, R=3)
+    opts = AlgOptions(MaxOuterIters=40, AbsFuncTol=0.0, OuterRelTol=0.0)
+    st_ref, out_ref = fit(spec, data, state, opts)
+    baseline = tmp_path / "baseline.npz"
+    np.savez(baseline,
+             func_val_conv=out_ref.func_val_conv,
+             func_coupl_conv=out_ref.func_coupl_conv,
+             outer_iterations=out_ref.OuterIterations,
+             **{f"fac{m}": np.asarray(st_ref.fac[m])
+                for m in range(spec.nb_modes)})
+
+    port = _free_port()
+    env = dict(os.environ,
+               PYTHONPATH=REPO,
+               PALLAS_AXON_POOL_IPS="",
+               JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=4")
+    workers = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tests",
+                                          "distributed_worker.py"),
+             str(i), "2", str(port), str(baseline)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+        for i in range(2)]
+    logs = []
+    try:
+        for w in workers:
+            out, _ = w.communicate(timeout=600)
+            logs.append(out)
+    except subprocess.TimeoutExpired:
+        for w in workers:
+            w.kill()
+        pytest.fail("distributed workers timed out:\n" +
+                    "\n".join(l or "" for l in logs))
+    for i, (w, log) in enumerate(zip(workers, logs)):
+        assert w.returncode == 0, f"worker {i} failed:\n{log}"
+        assert f"proc {i}: DISTOK" in log, log
