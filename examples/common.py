@@ -46,6 +46,41 @@ def run(spec, lambdas, distr, opts, noise=0.0, coupl_trafo=None,
                 Delta=Delta, report=report)
 
 
+def run_multistart(spec, lambdas, distr, opts, n_starts, noise=0.0,
+                   coupl_trafo=None, coupl_trafo2=None, init_distr=None,
+                   data_rng=0, bk_style="shift", mode_post=None,
+                   delta_shapes=None, normalize=True, verbose=True,
+                   keys=None):
+    """Best-of-N random starts via the vmapped fit_multistart (the
+    reference's script-15 protocol, example_script15.m:113-135).  With
+    keys=range(n_starts) each start reproduces the sequential
+    `run(..., key=s)` fit exactly."""
+    from matlab_code_tpu.models.multistart import fit_multistart
+    from matlab_code_tpu.models.solver import assemble_zhat
+    data, Atrue, Delta, _ = create_coupled_data(
+        spec, lambdas=lambdas, noise=noise, distr=distr,
+        coupl_trafo=coupl_trafo, coupl_trafo2=coupl_trafo2, rng=data_rng,
+        bk_style=bk_style, mode_post=mode_post)
+    if normalize:
+        data, _ = normalize_data(spec, data)
+    init = InitOptions(distr=tuple(init_distr or distr), normalize=True,
+                       lambdas_init=tuple(tuple(l) for l in lambdas))
+    keys = list(keys) if keys is not None else list(range(n_starts))
+    best_state, best_out, finals, stops = fit_multistart(
+        spec, data, opts, init, n_starts, delta_shapes=delta_shapes,
+        keys=keys)
+    if verbose:
+        for s in range(n_starts):
+            print(f"start {s:2d}: f_tensors={float(finals[s]):.6e} "
+                  f"iters={int(stops[s])}")
+        print("--- best run ---")
+    zhat = assemble_zhat(spec, best_state)
+    report = summarize(spec, data, zhat, Atrue, best_out, verbose=verbose)
+    return dict(zhat=zhat, state=best_state, out=best_out, data=data,
+                Atrue=Atrue, Delta=Delta, report=report,
+                finals=np.asarray(finals), stops=np.asarray(stops))
+
+
 def add_missing(spec, data, fraction, rng=1):
     """Mark a random `fraction` of entries missing (script 12 style)."""
     import dataclasses

@@ -46,8 +46,15 @@ def build(small=False):
                 opts=opts, noise=0.03)
 
 
-def main(n_starts=20, small=False):
+def main(n_starts=20, small=False, sequential=False):
+    """Best of n_starts random inits by minimum f_tensors
+    (example_script15:113-135).  Default: all starts in one vmapped
+    fit_multistart program (keys=range(n) reproduces the sequential runs
+    exactly); sequential=True keeps the start-by-start loop."""
     cfg = build(small=small)
+    if not sequential:
+        from examples.common import run_multistart
+        return run_multistart(**cfg, n_starts=n_starts)
     best = None
     for s in range(n_starts):
         res = run(**cfg, key=s, verbose=False)

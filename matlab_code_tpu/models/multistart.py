@@ -51,17 +51,28 @@ def _stopping_v(f4_new, f4_old, options):
 
 def fit_multistart(spec: ProblemSpec, data: ProblemData, options: AlgOptions,
                    init_options: InitOptions, n_starts: int, base_key=0,
-                   delta_shapes=None):
+                   delta_shapes=None, keys=None):
     """Returns (best_state, best_out, all_f_tensors, stop_iters).
 
     best_out is a full FitOutput of the best start, evaluated at its own
     stopping iteration (identical numbers to a sequential early-stopped run).
+
+    keys: optional explicit per-start init keys (each anything init_coupled
+    accepts, e.g. ints); overrides the base_key fold_in scheme so the S
+    starts reproduce S sequential `cmtf_aoadmm(..., key=keys[s])` runs
+    exactly (the reference's best-of-N protocol, example_script15.m:113-130).
     """
-    if isinstance(base_key, str):
-        import hashlib
-        base_key = int(hashlib.sha256(base_key.encode()).hexdigest()[:8], 16)
-    root = jax.random.PRNGKey(int(base_key))
-    keys = [jax.random.fold_in(root, s) for s in range(n_starts)]
+    if keys is not None:
+        keys = list(keys)
+        if len(keys) != n_starts:
+            raise ValueError(f"got {len(keys)} keys for {n_starts} starts")
+    else:
+        if isinstance(base_key, str):
+            import hashlib
+            base_key = int(hashlib.sha256(base_key.encode()).hexdigest()[:8],
+                           16)
+        root = jax.random.PRNGKey(int(base_key))
+        keys = [jax.random.fold_in(root, s) for s in range(n_starts)]
     states = [init_coupled(spec, data, init_options, key=k,
                            delta_shapes=delta_shapes) for k in keys]
     batched = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
@@ -187,6 +198,8 @@ def fit_multistart(spec: ProblemSpec, data: ProblemData, options: AlgOptions,
     it = jnp.int32(1)
     carry = (batched, vdata, grams, colnorms, rho_scale, f4, frm, hist,
              inner_h, lb_h, stopped, illc_l, stop_iter, it, jnp.int32(0))
+    import time as _time
+    t0 = _time.perf_counter()
     for last_it, active in phases:
         if int(carry[-2]) > last_it or bool(jnp.all(carry[-5])):
             continue
@@ -195,6 +208,8 @@ def fit_multistart(spec: ProblemSpec, data: ProblemData, options: AlgOptions,
 
     (states_f, _, _, _, _, f4, frm, hist, inner_h, lb_h, stopped, illc_l,
      stop_iter, it, _) = carry
+    jax.block_until_ready(stop_iter)
+    t_total = _time.perf_counter() - t0   # wall time of ALL starts together
     hist = np.asarray(hist)
     stop_iter = np.asarray(stop_iter)
     stopped = np.asarray(stopped)
@@ -231,7 +246,7 @@ def fit_multistart(spec: ProblemSpec, data: ProblemData, options: AlgOptions,
         func_PAR2_coupl=hist[best, 3, :n_it + 1],
         func_rel_missing=None,
         innerIters=inner_h[best, :, :n_it + 1],
-        time_total=float("nan"),
+        time_total=t_total,
         lbfgsb_iterations=(np.asarray(lb_h)[best, :, :n_it + 1]
                            if lb_h is not None else None))
     return best_state, best_out, finals, stop_iters

@@ -803,7 +803,12 @@ def cmtf_aoadmm(spec: ProblemSpec, data: ProblemData, options: AlgOptions,
         init = init_coupled(spec, data, init_options, key=key)
     state0 = init
     state, out = fit(spec, data, state0, options, validate=validate)
+    return assemble_zhat(spec, state), state, state0, out
 
+
+def assemble_zhat(spec: ProblemSpec, state: SolverState):
+    """Per-dataset factor estimates from a solver state (the `Zhat` output
+    packaging of cmtf_AOADMM.m:197-206)."""
     zhat = []
     for p, ds in enumerate(spec.datasets):
         if ds.model == CP:
@@ -817,4 +822,4 @@ def cmtf_aoadmm(spec: ProblemSpec, data: ProblemData, options: AlgOptions,
             zhat.append({"A": np.asarray(state.fac[ds.modes[0]]),
                          "Bk": Bk,
                          "C": np.asarray(state.fac[ds.modes[2]])})
-    return zhat, state, state0, out
+    return zhat
