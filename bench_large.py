@@ -45,6 +45,9 @@ def large_problem(I=256, J1=1024, J2=512, M1=8192, R=64):
 
 
 def run_iters(spec, data, state, opts, n_iters):
+    """it/s of the full outer step, in-jit loop.  n_iters must be large
+    enough that device time >> the ~27 ms tunnel sync floor (round 2's
+    n_iters=10 measurement under-reported 750 it/s as 238 it/s)."""
     proxes, reg_fns = build_proxes(spec)
     step = make_outer_step(spec, opts, proxes, reg_fns, True)
     grams, colnorms = init_cache(spec, state)
@@ -60,13 +63,40 @@ def run_iters(spec, data, state, opts, n_iters):
     out = n_steps(state, data, grams, colnorms)
     np.asarray(out[0].fac[0])
     best = np.inf
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         out = n_steps(state, data, grams, colnorms)
         np.asarray(out[0].fac[0])
         best = min(best, (time.perf_counter() - t0) / n_iters)
     assert bool(jnp.all(jnp.isfinite(out[0].fac[0])))
     return 1.0 / best
+
+
+def par2_problem(I=256, J=256, K=512, R=32):
+    """Regular PARAFAC2, 134 MB of slices: the K-batched Cholesky/polar-SVD
+    sweep (ADMM_B_Parafac2) at production scale."""
+    spec = ProblemSpec(
+        mode_sizes=(I, (J,) * K, K),
+        datasets=(DatasetSpec(model="PAR2", modes=(0, 1, 2), rank=R),),
+        coupling=CouplingSpec(lin_coupled_modes=(0, 0, 0), coupling_type=()),
+        constraints=(ConstraintSpec("non-negativity"), None,
+                     ConstraintSpec("non-negativity")))
+    rng = np.random.default_rng(0)
+    dt = jnp.result_type(float)
+    A = rng.uniform(size=(I, R)).astype(dt)
+    C = rng.uniform(0.5, 1.5, size=(K, R)).astype(dt)
+    B = rng.standard_normal((K, J, R)).astype(dt)
+    X = np.einsum("ir,kr,kjr->kij", A, C, B)
+    from matlab_code_tpu.problem import ProblemData, Parafac2Tensor
+    data = ProblemData(
+        objects=(Parafac2Tensor(slices=jnp.asarray(X),
+                                mask=jnp.ones((K, J), bool)),),
+        coupl_trafo=(None,) * 3, coupl_trafo2=(None,) * 3)
+    opts = AlgOptions(MaxOuterIters=10, MaxInnerIters=5)
+    init = InitOptions(distr=("rand",) * 3, normalize=True,
+                       lambdas_init=((1,) * R,))
+    state = init_coupled(spec, data, init, key=1)
+    return spec, data, state, opts
 
 
 def multistart_throughput(n_starts=8, iters=20):
@@ -109,13 +139,20 @@ def multistart_throughput(n_starts=8, iters=20):
 
 def main():
     spec, data, state, opts = large_problem()
-    it_s = run_iters(spec, data, state, opts, 10)
+    it_s = run_iters(spec, data, state, opts, 300)
     gb = sum(np.asarray(data.objects[p]).nbytes for p in range(2)) / 1e9
     print(f"# large workload: {gb:.2f} GB data, rank 64")
     print(json.dumps({"metric": "aoadmm_iters_per_s_large_r64",
                       "value": round(it_s, 2), "unit": "outer_iters/s",
                       "vs_baseline": None}))
-    tot, fits = multistart_throughput()
+    spec, data, state, opts = par2_problem()
+    it_s = run_iters(spec, data, state, opts, 100)
+    gb = np.asarray(data.objects[0].slices).nbytes / 1e9
+    print(f"# PARAFAC2 workload: {gb:.2f} GB slices, K=512, rank 32")
+    print(json.dumps({"metric": "aoadmm_iters_per_s_par2_k512_r32",
+                      "value": round(it_s, 2), "unit": "outer_iters/s",
+                      "vs_baseline": None}))
+    tot, fits = multistart_throughput(iters=100)
     print(json.dumps({"metric": "multistart_sweeps_per_s",
                       "value": round(tot, 1),
                       "unit": "start-iterations/s (8 parallel fits)",

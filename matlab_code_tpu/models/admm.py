@@ -15,7 +15,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from matlab_code_tpu.ops.linalg import solve_with_chol, solve_spd_left, polar_orth
+from matlab_code_tpu.ops.linalg import (
+    solve_with_chol, solve_spd_left, polar_orth, polar_orth_ns)
 from matlab_code_tpu.problem import ProblemSpec
 from matlab_code_tpu.state import SolverState, tuple_set
 
@@ -127,6 +128,12 @@ def admm_b_parafac2(spec: ProblemSpec, state: SolverState, m: int, p: int,
     K = spec.par2_K(p)
     constrained = spec.is_constrained(m) and constraint_active
     ragged = sizes is not None and len(set(sizes)) > 1
+    # P_k polar method resolved at trace time (options.par2_polar)
+    method = options.par2_polar
+    if method == "auto":
+        method = "ns" if jax.default_backend() == "tpu" else "svd"
+    polar = polar_orth if method == "svd" else partial(
+        polar_orth_ns, iters=options.par2_polar_iters)
     if constrained:
         kind = spec.constraints[m].kind
         upd_joint = kind == "tPARAFAC2"
@@ -151,7 +158,7 @@ def admm_b_parafac2(spec: ProblemSpec, state: SolverState, m: int, p: int,
         facB = solve_with_chol(L, A_inner)              # batched over K
         # P_k = polar((B_k + mu_k) DeltaB^T)  (cmtf_fun_AOADMM.m:532-534)
         oldP = P_
-        P_ = polar_orth(jnp.einsum("kjr,sr->kjs", facB + mu, DB))
+        P_ = polar(jnp.einsum("kjr,sr->kjs", facB + mu, DB))
         # DeltaB = sum_k rho_k P_k^T (B_k + mu_k) / sum rho_k  (:536-544)
         oldDB = DB
         DB = jnp.einsum("k,kjr,kjs->rs", rho, P_, facB + mu) / jnp.sum(rho)

@@ -59,6 +59,27 @@ def polar_orth(M: jnp.ndarray) -> jnp.ndarray:
     return U @ Vt
 
 
+def polar_orth_ns(M: jnp.ndarray, iters: int = 30) -> jnp.ndarray:
+    """Orthonormal polar factor of M via cubic Newton-Schulz iteration —
+    matmuls only, no SVD.
+
+    Same mathematical result as `polar_orth` (cmtf_fun_AOADMM.m:532-534) but
+    TPU-friendly: batched econ-SVD of (K, J, R) slices lowers to a slow
+    per-slice kernel on TPU, while this runs as 2*iters batched matmuls on
+    the MXU.  X0 = M/||M||_F has singular values in (0, 1] ⊂ (0, √3), so
+    X ← 1.5·X − 0.5·X(XᵀX) converges cubically to the polar factor
+    (Higham, Functions of Matrices, §8.3).  Accuracy ~sqrt(eps)·cond; use
+    `polar_orth` when LAPACK-grade accuracy is required (CPU/f64 parity
+    paths keep the SVD).  Zero matrices map to zero.  Batched over leading
+    dims.
+    """
+    nrm = jnp.sqrt(jnp.sum(M * M, axis=(-2, -1), keepdims=True))
+    X = M / jnp.where(nrm > 0, nrm, 1.0)
+    for _ in range(iters):
+        X = 1.5 * X - 0.5 * X @ (jnp.swapaxes(X, -1, -2) @ X)
+    return X
+
+
 def sylvester_sym(B2: jnp.ndarray, B: jnp.ndarray, C: jnp.ndarray) -> jnp.ndarray:
     """Solve B2 X + X B = C where B2 (n x n) and B (R x R) are SYMMETRIC.
 

@@ -57,6 +57,16 @@ class AlgOptions:
     # residual exceeds 10x the dual residual or vice versa (Boyd et al. 2011,
     # sec. 3.4.1), clamped to [1e-6, 1e6].
     adaptive_rho_nonfrob: bool = False
+    # PARAFAC2 P_k update (polar factor, cmtf_fun_AOADMM.m:532-534) method:
+    # 'svd' = batched econ-SVD (LAPACK-grade, the reference's math); 'ns' =
+    # cubic Newton-Schulz (matmuls only — batched per-slice SVD lowers to a
+    # very slow kernel on TPU, NS runs on the MXU); 'auto' = svd on CPU,
+    # ns on TPU.  Same mathematical result to ~sqrt(eps)*cond.
+    par2_polar: str = "auto"
+    # NS iteration count: sigma_min grows ~1.5x/iter after Frobenius
+    # normalization, so ~log1.5(sqrt(R)*cond)+4 iterations; 40 covers
+    # cond ~ 3e6 at R=32.  Raise for extreme conditioning (or use 'svd').
+    par2_polar_iters: int = 40
     # share the X x_0 A partial between the mode-1/2 MTTKRPs of 3-way CP
     # sweeps (exact numerics; trades one data pass for an (J,K,R)
     # intermediate — measured slower on v5e for the bench shapes, so off by

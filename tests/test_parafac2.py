@@ -255,3 +255,29 @@ def test_irregular_par2_tv_bk():
     Bk = np.asarray(res["state"].fac[1])
     for k, J in enumerate(sizes):
         np.testing.assert_allclose(Bk[k, J:, :], 0.0, atol=1e-12)
+
+
+def test_par2_polar_ns_matches_svd():
+    """par2_polar='ns' (Newton-Schulz P_k, the TPU default) reproduces the
+    'svd' fit: same trajectory to ~1e-8 and the same recovery."""
+    import dataclasses
+    K, J, I = 8, 15, 10
+    spec = ProblemSpec(
+        mode_sizes=(I, (J,) * K, K),
+        datasets=(DatasetSpec(model="PAR2", modes=(0, 1, 2), rank=3),),
+        coupling=CouplingSpec(lin_coupled_modes=(0, 0, 0), coupling_type=()),
+        constraints=(ConstraintSpec("non-negativity"), None,
+                     ConstraintSpec("non-negativity")))
+    opts = AlgOptions(MaxOuterIters=60, AbsFuncTol=0.0, OuterRelTol=0.0)
+    res_svd = run_problem(spec, lambdas=[[1, 1, 1]],
+                          distr=["rand", "rand", "rand+0.1"], opts=opts, key=2)
+    opts_ns = dataclasses.replace(opts, par2_polar="ns")
+    res_ns = run_problem(spec, lambdas=[[1, 1, 1]],
+                         distr=["rand", "rand", "rand+0.1"], opts=opts_ns,
+                         key=2)
+    np.testing.assert_allclose(res_ns["out"].func_val_conv,
+                               res_svd["out"].func_val_conv,
+                               rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(res_ns["out"].func_PAR2_coupl,
+                               res_svd["out"].func_PAR2_coupl,
+                               rtol=1e-5, atol=1e-8)
