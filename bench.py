@@ -33,7 +33,9 @@ from matlab_code_tpu.ops.tensor import mttkrp
 S = 128
 RTOT = 24
 R1, R2, R3 = 16, 20, 20
-N_ITERS = 30
+# 300 in-jit iterations per timed call: at ~1.4 ms/iter the ~27 ms tunnel
+# sync floor is <7% noise (30 iterations made the floor a ~2x error)
+N_ITERS = 300
 
 
 def _selectors(rng):
