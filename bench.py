@@ -281,8 +281,8 @@ def main():
         print(f"# numpy baseline done [{time.perf_counter() - t_start:.0f}s]",
               flush=True)
     else:
-        np_iters_per_s = 0.064
-        print("# numpy baseline skipped (time budget) — recorded 0.064 it/s",
+        np_iters_per_s = None
+        print("# numpy baseline skipped (time budget) — vs_baseline null",
               flush=True)
 
     # secondary workload only if the 590 s driver budget allows
@@ -293,13 +293,15 @@ def main():
                                       measure_mttkrp=False)
 
     print(f"# mttkrp_gflops_per_s: {mttkrp_gflops:.1f}")
-    print(f"# numpy_cpu_iters_per_s: {np_iters_per_s:.3f}")
+    if np_iters_per_s is not None:
+        print(f"# numpy_cpu_iters_per_s: {np_iters_per_s:.3f}")
     print(f"# secondary_type0_iters_per_s: {iters_per_s_t0:.3f}")
     print(json.dumps({
         "metric": "aoadmm_iters_per_s_eem_nmr_lcms_type4",
         "value": round(iters_per_s, 3),
         "unit": "outer_iters/s",
-        "vs_baseline": round(iters_per_s / np_iters_per_s, 2),
+        "vs_baseline": (round(iters_per_s / np_iters_per_s, 2)
+                        if np_iters_per_s else None),
     }))
 
 

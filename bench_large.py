@@ -178,7 +178,7 @@ def main():
                       "value": round(it_s, 2), "unit": "outer_iters/s",
                       "vs_baseline": None}))
     spec, data, state, opts = kl_problem()
-    it_s = run_iters(spec, data, state, opts, 20)
+    it_s = run_iters(spec, data, state, opts, 60)
     gb = np.asarray(data.objects[0]).nbytes / 1e9
     print(f"# KL workload: {gb:.2f} GB counts, rank 8 (L-BFGS-B inner solves)")
     print(json.dumps({"metric": "aoadmm_iters_per_s_kl_lbfgsb",

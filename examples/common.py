@@ -24,10 +24,10 @@ from matlab_code_tpu.ops.tensor import ktensor_full
 from matlab_code_tpu.problem import CP, PAR2
 
 
-def run(spec, lambdas, distr, opts, noise=0.0, coupl_trafo=None,
-        coupl_trafo2=None, init_distr=None, key=1, data_rng=0,
-        bk_style="shift", mode_post=None, delta_shapes=None, normalize=True,
-        verbose=True, miss_fraction=None, miss_rng=1):
+def _setup(spec, lambdas, distr, noise, coupl_trafo, coupl_trafo2,
+           init_distr, data_rng, bk_style, mode_post, normalize,
+           miss_fraction=None, miss_rng=1):
+    """Shared data-generation + init prologue of run()/run_multistart()."""
     data, Atrue, Delta, _ = create_coupled_data(
         spec, lambdas=lambdas, noise=noise, distr=distr,
         coupl_trafo=coupl_trafo, coupl_trafo2=coupl_trafo2, rng=data_rng,
@@ -38,6 +38,16 @@ def run(spec, lambdas, distr, opts, noise=0.0, coupl_trafo=None,
         data = add_missing(spec, data, miss_fraction, miss_rng)
     init = InitOptions(distr=tuple(init_distr or distr), normalize=True,
                        lambdas_init=tuple(tuple(l) for l in lambdas))
+    return data, Atrue, Delta, init
+
+
+def run(spec, lambdas, distr, opts, noise=0.0, coupl_trafo=None,
+        coupl_trafo2=None, init_distr=None, key=1, data_rng=0,
+        bk_style="shift", mode_post=None, delta_shapes=None, normalize=True,
+        verbose=True, miss_fraction=None, miss_rng=1):
+    data, Atrue, Delta, init = _setup(
+        spec, lambdas, distr, noise, coupl_trafo, coupl_trafo2, init_distr,
+        data_rng, bk_style, mode_post, normalize, miss_fraction, miss_rng)
     state0 = init_coupled(spec, data, init, key=key,
                           delta_shapes=delta_shapes)
     zhat, state, _, out = cmtf_aoadmm(spec, data, opts, init=state0)
@@ -57,14 +67,9 @@ def run_multistart(spec, lambdas, distr, opts, n_starts, noise=0.0,
     `run(..., key=s)` fit exactly."""
     from matlab_code_tpu.models.multistart import fit_multistart
     from matlab_code_tpu.models.solver import assemble_zhat
-    data, Atrue, Delta, _ = create_coupled_data(
-        spec, lambdas=lambdas, noise=noise, distr=distr,
-        coupl_trafo=coupl_trafo, coupl_trafo2=coupl_trafo2, rng=data_rng,
-        bk_style=bk_style, mode_post=mode_post)
-    if normalize:
-        data, _ = normalize_data(spec, data)
-    init = InitOptions(distr=tuple(init_distr or distr), normalize=True,
-                       lambdas_init=tuple(tuple(l) for l in lambdas))
+    data, Atrue, Delta, init = _setup(
+        spec, lambdas, distr, noise, coupl_trafo, coupl_trafo2, init_distr,
+        data_rng, bk_style, mode_post, normalize)
     keys = list(keys) if keys is not None else list(range(n_starts))
     best_state, best_out, finals, stops = fit_multistart(
         spec, data, opts, init, n_starts, delta_shapes=delta_shapes,

@@ -130,6 +130,9 @@ def admm_b_parafac2(spec: ProblemSpec, state: SolverState, m: int, p: int,
     ragged = sizes is not None and len(set(sizes)) > 1
     # P_k polar method resolved at trace time (options.par2_polar)
     method = options.par2_polar
+    if method not in ("auto", "svd", "ns"):
+        raise ValueError(f"par2_polar must be 'auto'|'svd'|'ns', "
+                         f"got {method!r}")
     if method == "auto":
         method = "ns" if jax.default_backend() == "tpu" else "svd"
     polar = polar_orth if method == "svd" else partial(

@@ -208,7 +208,8 @@ def fit_multistart(spec: ProblemSpec, data: ProblemData, options: AlgOptions,
 
     (states_f, _, _, _, _, f4, frm, hist, inner_h, lb_h, stopped, illc_l,
      stop_iter, it, _) = carry
-    jax.block_until_ready(stop_iter)
+    np.asarray(stop_iter)   # full host sync (block_until_ready alone
+    #                         under-reports on the axon TPU backend)
     t_total = _time.perf_counter() - t0   # wall time of ALL starts together
     hist = np.asarray(hist)
     stop_iter = np.asarray(stop_iter)

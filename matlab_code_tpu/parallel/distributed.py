@@ -69,20 +69,34 @@ def globalize_tree(tree, shardings):
         is_leaf=lambda x: x is None)
 
 
+_REPLICATORS: dict = {}   # mesh -> jitted identity with replicated output
+
+
 def fetch(x) -> np.ndarray:
     """Global jax.Array -> full numpy value on every process.
 
     Fully-addressable or fully-replicated arrays convert directly; a
     cross-process sharded array is first re-replicated (an all-gather over
-    the mesh) by an identity jit with replicated out_shardings.
+    the mesh) by a per-mesh cached identity jit with replicated
+    out_shardings.
     """
     if not isinstance(x, jax.Array):
         return np.asarray(x)
     if x.is_fully_addressable or x.is_fully_replicated:
         return np.asarray(x)
     from jax.sharding import NamedSharding, PartitionSpec
-    rep = NamedSharding(x.sharding.mesh, PartitionSpec())
-    return np.asarray(jax.jit(lambda a: a, out_shardings=rep)(x))
+    sh = x.sharding
+    if not isinstance(sh, NamedSharding):
+        raise TypeError(
+            f"fetch() of a non-addressable array needs a NamedSharding to "
+            f"locate its mesh, got {type(sh).__name__}; re-shard it or use "
+            f"jax.experimental.multihost_utils.process_allgather")
+    rep = _REPLICATORS.get(sh.mesh)
+    if rep is None:
+        rep = jax.jit(lambda a: a,
+                      out_shardings=NamedSharding(sh.mesh, PartitionSpec()))
+        _REPLICATORS[sh.mesh] = rep
+    return np.asarray(rep(x))
 
 
 def fetch_tree(tree):

@@ -56,24 +56,29 @@ def test_two_process_fit_matches_single_process(tmp_path):
                PALLAS_AXON_POOL_IPS="",
                JAX_PLATFORMS="cpu",
                XLA_FLAGS="--xla_force_host_platform_device_count=4")
+    # worker output goes to files, not pipes: a blocked pipe write would
+    # stall one worker inside a gloo collective and hang its peer too
+    log_paths = [tmp_path / f"worker{i}.log" for i in range(2)]
+    log_files = [open(p, "w") for p in log_paths]
     workers = [
         subprocess.Popen(
             [sys.executable, os.path.join(REPO, "tests",
                                           "distributed_worker.py"),
              str(i), "2", str(port), str(baseline)],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-            text=True)
+            env=env, stdout=log_files[i], stderr=subprocess.STDOUT)
         for i in range(2)]
-    logs = []
     try:
         for w in workers:
-            out, _ = w.communicate(timeout=600)
-            logs.append(out)
+            w.wait(timeout=600)
     except subprocess.TimeoutExpired:
         for w in workers:
             w.kill()
-        pytest.fail("distributed workers timed out:\n" +
-                    "\n".join(l or "" for l in logs))
-    for i, (w, log) in enumerate(zip(workers, logs)):
+        pytest.fail("distributed workers timed out:\n" + "\n".join(
+            p.read_text() for p in log_paths))
+    finally:
+        for f in log_files:
+            f.close()
+    for i, (w, p) in enumerate(zip(workers, log_paths)):
+        log = p.read_text()
         assert w.returncode == 0, f"worker {i} failed:\n{log}"
         assert f"proc {i}: DISTOK" in log, log
