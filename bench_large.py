@@ -124,6 +124,32 @@ def kl_problem(I=128, J=256, K=256, R=8):
     return spec, data, state, opts
 
 
+def sparse_problem(D=2048, NNZ=10_000_000, R=16):
+    """Sparse COO CP (the reference's sptensor path): 1e7 nonzeros of a
+    2048^3 tensor.  The gather/segment-sum MTTKRP is random-access-bound on
+    TPU (~16 GB/s effective gather bandwidth; docs/ROOFLINE.md) — per-mode
+    sorted copies and ELL padding were measured and do NOT help."""
+    from matlab_code_tpu.problem import ProblemData, SparseTensor
+    spec = ProblemSpec(
+        mode_sizes=(D, D, D),
+        datasets=(DatasetSpec(model="CP", modes=(0, 1, 2), rank=R),),
+        coupling=CouplingSpec(lin_coupled_modes=(0, 0, 0), coupling_type=()),
+        constraints=(ConstraintSpec("non-negativity"),) * 3)
+    rng = np.random.default_rng(0)
+    dt = jnp.result_type(float)
+    idx = np.unique(rng.integers(0, D, size=(NNZ, 3)).astype(np.int32),
+                    axis=0)
+    st = SparseTensor(jnp.asarray(idx),
+                      jnp.asarray(rng.uniform(size=len(idx)).astype(dt)))
+    data = ProblemData(objects=(st,), coupl_trafo=(None,) * 3,
+                       coupl_trafo2=(None,) * 3)
+    opts = AlgOptions(MaxOuterIters=10, MaxInnerIters=5)
+    init = InitOptions(distr=("rand",) * 3, normalize=True,
+                       lambdas_init=((1,) * R,))
+    state = init_coupled(spec, data, init, key=1)
+    return spec, data, state, opts
+
+
 def multistart_throughput(n_starts=8, iters=20):
     """Whole fits batched with vmap — fits/sec on one chip."""
     from matlab_code_tpu.utils.datagen import create_coupled_data
@@ -182,6 +208,13 @@ def main():
     gb = np.asarray(data.objects[0]).nbytes / 1e9
     print(f"# KL workload: {gb:.2f} GB counts, rank 8 (L-BFGS-B inner solves)")
     print(json.dumps({"metric": "aoadmm_iters_per_s_kl_lbfgsb",
+                      "value": round(it_s, 2), "unit": "outer_iters/s",
+                      "vs_baseline": None}))
+    spec, data, state, opts = sparse_problem()
+    it_s = run_iters(spec, data, state, opts, 20)   # ~0.4 s/iter >> floor
+    nnz = np.asarray(data.objects[0].values).size
+    print(f"# sparse workload: {nnz/1e6:.1f}M nnz of 2048^3, rank 16")
+    print(json.dumps({"metric": "aoadmm_iters_per_s_sparse_10Mnnz",
                       "value": round(it_s, 2), "unit": "outer_iters/s",
                       "vs_baseline": None}))
     tot, fits = multistart_throughput(iters=100)
