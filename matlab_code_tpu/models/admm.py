@@ -16,7 +16,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from matlab_code_tpu.ops.linalg import (
-    solve_with_chol, solve_spd_left, polar_orth, polar_orth_ns)
+    solve_with_chol, solve_spd_left, spd_inverse_from_chol, polar_orth,
+    polar_orth_ns)
 from matlab_code_tpu.problem import ProblemSpec
 from matlab_code_tpu.state import SolverState, tuple_set
 
@@ -51,6 +52,37 @@ def make_update_constraint(spec: ProblemSpec, proxes):
     return upd
 
 
+def _resolve_inner_solve(options) -> str:
+    method = options.inner_solve
+    if method not in ("auto", "chol", "inverse"):
+        raise ValueError(f"inner_solve must be 'auto'|'chol'|'inverse', "
+                         f"got {method!r}")
+    if method == "auto":
+        return "inverse" if jax.default_backend() == "tpu" else "chol"
+    return method
+
+
+def make_right_solver(L, options):
+    """Solver for X B = A (A row-shaped), B = L L^T.  'chol' = the
+    reference's two triangular substitutions per call
+    (cmtf_fun_AOADMM.m:608-609); 'inverse' = B^{-1} once (build this OUTSIDE
+    the inner while_loop so it amortizes over inner iterations), one matmul
+    per call — ~3x faster on the TPU MXU, same solution to ~eps*cond."""
+    if _resolve_inner_solve(options) == "chol":
+        return lambda A: solve_with_chol(L, A)
+    Binv = spd_inverse_from_chol(L)
+    return lambda A: A @ Binv
+
+
+def make_left_rowsolver(L, options):
+    """Row-batched B_k x_k = a_k solver: A (K, R) -> (K, R) (the PAR2-C
+    per-row systems, cmtf_fun_AOADMM.m:602-606)."""
+    if _resolve_inner_solve(options) == "chol":
+        return lambda A: solve_spd_left(L, A[:, :, None])[:, :, 0]
+    Binv = spd_inverse_from_chol(L)
+    return lambda A: (Binv @ A[:, :, None])[:, :, 0]
+
+
 def eval_res_constr(spec: ProblemSpec, state: SolverState, modes, oldZ: dict):
     """Relative primal/dual constraint residuals averaged over `modes`
     (cmtf_fun_AOADMM.m:1079-1096)."""
@@ -76,6 +108,9 @@ def admm_constrained_only(spec: ProblemSpec, state: SolverState, m: int, p: int,
     upd = make_update_constraint(spec, proxes)
     role = spec.mode_role(m)
     frob = spec.datasets[p].loss == "Frobenius"
+    if frob:
+        solve = (make_left_rowsolver(L, options) if role == "par2_C"
+                 else make_right_solver(L, options))
 
     def cond(c):
         state, it, pr, dr, lb = c
@@ -90,11 +125,10 @@ def admm_constrained_only(spec: ProblemSpec, state: SolverState, m: int, p: int,
                 # row-wise batched solve (cmtf_fun_AOADMM.m:602-606)
                 A_inner = A + 0.5 * rho[:, None] * (
                     state.constraint_fac[m] - state.constraint_dual_fac[m])
-                fac = solve_spd_left(L, A_inner[:, :, None])[:, :, 0]
             else:
                 A_inner = A + 0.5 * rho * (
                     state.constraint_fac[m] - state.constraint_dual_fac[m])
-                fac = solve_with_chol(L, A_inner)
+            fac = solve(A_inner)
             state = state.replace(fac=tuple_set(state.fac, m, fac))
         else:
             state, nit = lbfgs_step(state, data, constrained=True,
@@ -137,6 +171,7 @@ def admm_b_parafac2(spec: ProblemSpec, state: SolverState, m: int, p: int,
         method = "ns" if jax.default_backend() == "tpu" else "svd"
     polar = polar_orth if method == "svd" else partial(
         polar_orth_ns, iters=options.par2_polar_iters)
+    solve = make_right_solver(L, options)      # batched over K
     if constrained:
         kind = spec.constraints[m].kind
         upd_joint = kind == "tPARAFAC2"
@@ -158,7 +193,7 @@ def admm_b_parafac2(spec: ProblemSpec, state: SolverState, m: int, p: int,
         if constrained:
             A_inner = A_inner + 0.5 * rho[:, None, None] * (
                 state.constraint_fac[m] - state.constraint_dual_fac[m])
-        facB = solve_with_chol(L, A_inner)              # batched over K
+        facB = solve(A_inner)
         # P_k = polar((B_k + mu_k) DeltaB^T)  (cmtf_fun_AOADMM.m:532-534)
         oldP = P_
         P_ = polar(jnp.einsum("kjr,sr->kjs", facB + mu, DB))
@@ -246,7 +281,7 @@ def _is_par2C(spec, m):
 
 
 def _factor_update_case(spec, state, data, m, cid, ctype, A, L, B, B2, rho,
-                        constrained):
+                        constrained, solve=None):
     """One coupled-factor update for mode m (Frobenius loss)."""
     from matlab_code_tpu.ops.linalg import sylvester_sym, block_diag
     Delta = state.coupling_fac[cid - 1]
@@ -292,7 +327,7 @@ def _factor_update_case(spec, state, data, m, cid, ctype, A, L, B, B2, rho,
         if constrained:
             A_inner = A_inner + 0.5 * rho[:, None] * (
                 state.constraint_fac[m] - state.constraint_dual_fac[m])
-        return solve_spd_left(L, A_inner[:, :, None])[:, :, 0]
+        return solve(A_inner)
 
     if ctype == 0:
         extra = Delta - dual
@@ -306,7 +341,7 @@ def _factor_update_case(spec, state, data, m, cid, ctype, A, L, B, B2, rho,
     if constrained:
         A_inner = A_inner + 0.5 * rho * (
             state.constraint_fac[m] - state.constraint_dual_fac[m])
-    return solve_with_chol(L, A_inner)
+    return solve(A_inner)
 
 
 def _delta_update(spec, state, data, cmodes, cid, ctype, rhos):
@@ -475,6 +510,17 @@ def admm_coupled(spec: ProblemSpec, state: SolverState, data, cmodes, cid,
     Returns (state, inner_iters, lbfgsb_totals dict)."""
     upd = make_update_constraint(spec, proxes)
     constrained_modes = tuple(m for m in cmodes if spec.is_constrained(m))
+    # per-mode inner solvers built OUTSIDE the while_loop (the 'inverse'
+    # mode inverts each loop-invariant normal matrix once per outer iter);
+    # the case-1/5 paths keep L (kron-vectorized solve / Sylvester).
+    solvers = {}
+    if ctype not in (1, 5):
+        for mm in cmodes:
+            if spec.datasets[spec.which_p(mm)].loss != "Frobenius":
+                continue
+            solvers[mm] = (make_left_rowsolver(Ls[mm], options)
+                           if _is_par2C(spec, mm)
+                           else make_right_solver(Ls[mm], options))
 
     def cond(c):
         state, it, prc, drc, prk, drk, lb = c
@@ -493,7 +539,7 @@ def admm_coupled(spec: ProblemSpec, state: SolverState, data, cmodes, cid,
                 fac = _factor_update_case(
                     spec, state, data, mm, cid, ctype, As[mm], Ls[mm],
                     Bs.get(mm), B2s.get(mm), rhos[mm],
-                    spec.is_constrained(mm))
+                    spec.is_constrained(mm), solve=solvers.get(mm))
                 state = state.replace(fac=tuple_set(state.fac, mm, fac))
             else:
                 state, nit = lbfgs_steps[mm](

@@ -36,6 +36,19 @@ def solve_with_chol(L: jnp.ndarray, A: jnp.ndarray) -> jnp.ndarray:
     return jnp.swapaxes(x, -1, -2)
 
 
+def spd_inverse_from_chol(L: jnp.ndarray) -> jnp.ndarray:
+    """B^{-1} = L^{-T} L^{-1} from the lower Cholesky factor of B.
+
+    Used by the 'inverse' inner-solve mode: computed once per outer
+    iteration so every inner-ADMM solve becomes a single matmul (MXU)
+    instead of two triangular substitutions.  Batched over leading dims.
+    """
+    R = L.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(R, dtype=L.dtype), L.shape)
+    Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+    return jnp.swapaxes(Linv, -1, -2) @ Linv
+
+
 def solve_spd_left(L: jnp.ndarray, A: jnp.ndarray) -> jnp.ndarray:
     """Solve B X = A given B = L L^T.  A: (n, k)."""
     y = jax.scipy.linalg.solve_triangular(L, A, lower=True)

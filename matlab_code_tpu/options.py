@@ -63,6 +63,15 @@ class AlgOptions:
     # very slow kernel on TPU, NS runs on the MXU); 'auto' = svd on CPU,
     # ns on TPU.  Same mathematical result to ~sqrt(eps)*cond.
     par2_polar: str = "auto"
+    # Inner-ADMM factor solve: 'chol' = two triangular substitutions per
+    # inner iteration against the cached Cholesky factor (the reference's
+    # (A/L')/L, cmtf_fun_AOADMM.m:608-609); 'inverse' = invert the normal
+    # matrix ONCE per outer iteration (from the same Cholesky factor, so
+    # the rcond ill-conditioning check is unchanged) and run each inner
+    # iteration as one matmul — triangular solves are ~3x slower than the
+    # equivalent matmul on the TPU MXU.  Same solution to ~eps*cond.
+    # 'auto' = chol on CPU (bitwise reference parity), inverse on TPU.
+    inner_solve: str = "auto"
     # NS iteration count: sigma_min grows ~1.5x/iter after Frobenius
     # normalization, so ~log1.5(sqrt(R)*cond)+4 iterations; 40 covers
     # cond ~ 3e6 at R=32.  Raise for extreme conditioning (or use 'svd').

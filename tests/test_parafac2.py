@@ -281,3 +281,37 @@ def test_par2_polar_ns_matches_svd():
     np.testing.assert_allclose(res_ns["out"].func_PAR2_coupl,
                                res_svd["out"].func_PAR2_coupl,
                                rtol=1e-5, atol=1e-8)
+
+
+def test_inner_solve_inverse_matches_chol():
+    """inner_solve='inverse' (one matmul per inner iteration against the
+    precomputed normal-matrix inverse; TPU default) reproduces the 'chol'
+    triangular-substitution fit across CP + PAR2 + coupling."""
+    import dataclasses
+    K, J, I0 = 6, 12, 8
+    spec = ProblemSpec(
+        mode_sizes=(I0, 10, 14, I0, (J,) * K, K),
+        datasets=(DatasetSpec(model="CP", modes=(0, 1, 2), rank=3,
+                              weight=0.5),
+                  DatasetSpec(model="PAR2", modes=(3, 4, 5), rank=3,
+                              weight=0.5)),
+        coupling=CouplingSpec(lin_coupled_modes=(1, 0, 0, 1, 0, 0),
+                              coupling_type=(0,)),
+        constraints=(ConstraintSpec("non-negativity"), None, None,
+                     ConstraintSpec("non-negativity"),
+                     ConstraintSpec("non-negativity"),
+                     ConstraintSpec("non-negativity")))
+    opts = AlgOptions(MaxOuterIters=50, AbsFuncTol=0.0, OuterRelTol=0.0)
+    res_c = run_problem(spec, lambdas=[[1] * 3] * 2,
+                        distr=["rand", "randn", "randn", "rand", "rand",
+                               "rand+0.1"], opts=opts, key=1)
+    opts_i = dataclasses.replace(opts, inner_solve="inverse")
+    res_i = run_problem(spec, lambdas=[[1] * 3] * 2,
+                        distr=["rand", "randn", "randn", "rand", "rand",
+                               "rand+0.1"], opts=opts_i, key=1)
+    np.testing.assert_allclose(res_i["out"].func_val_conv,
+                               res_c["out"].func_val_conv,
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(res_i["out"].func_coupl_conv,
+                               res_c["out"].func_coupl_conv,
+                               rtol=1e-7, atol=1e-10)
