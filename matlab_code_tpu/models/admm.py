@@ -314,21 +314,8 @@ def _factor_update_case(spec, state, data, m, cid, ctype, A, L, B, B2, rho,
             fac = sylvester_sym(B2, B, A_inner)
         return fac
 
-    if par2C:
-        if ctype == 0:
-            extra = Delta - dual
-        elif ctype == 2:
-            extra = (Delta - dual) @ H.T
-        elif ctype == 3:
-            extra = H @ Delta - dual
-        else:  # 4
-            extra = Delta @ H - dual
-        A_inner = A + 0.5 * rho[:, None] * extra
-        if constrained:
-            A_inner = A_inner + 0.5 * rho[:, None] * (
-                state.constraint_fac[m] - state.constraint_dual_fac[m])
-        return solve(A_inner)
-
+    # ctypes 0/2/3/4 (PAR2-C rows get a per-row rho broadcast)
+    rho_b = rho[:, None] if par2C else rho
     if ctype == 0:
         extra = Delta - dual
     elif ctype == 2:
@@ -337,9 +324,9 @@ def _factor_update_case(spec, state, data, m, cid, ctype, A, L, B, B2, rho,
         extra = H @ Delta - dual
     else:  # 4
         extra = Delta @ H - dual
-    A_inner = A + 0.5 * rho * extra
+    A_inner = A + 0.5 * rho_b * extra
     if constrained:
-        A_inner = A_inner + 0.5 * rho * (
+        A_inner = A_inner + 0.5 * rho_b * (
             state.constraint_fac[m] - state.constraint_dual_fac[m])
     return solve(A_inner)
 

@@ -72,6 +72,17 @@ class AlgOptions:
     # equivalent matmul on the TPU MXU.  Same solution to ~eps*cond.
     # 'auto' = chol on CPU (bitwise reference parity), inverse on TPU.
     inner_solve: str = "auto"
+
+    def __post_init__(self):
+        if self.par2_polar not in ("auto", "svd", "ns"):
+            raise ValueError(f"par2_polar must be 'auto'|'svd'|'ns', "
+                             f"got {self.par2_polar!r}")
+        if self.inner_solve not in ("auto", "chol", "inverse"):
+            raise ValueError(f"inner_solve must be 'auto'|'chol'|'inverse', "
+                             f"got {self.inner_solve!r}")
+        if self.Display not in ("iter", "final", "no"):
+            raise ValueError(f"Display must be 'iter'|'final'|'no', "
+                             f"got {self.Display!r}")
     # NS iteration count: sigma_min grows ~1.5x/iter after Frobenius
     # normalization, so ~log1.5(sqrt(R)*cond)+4 iterations; 40 covers
     # cond ~ 3e6 at R=32.  Raise for extreme conditioning (or use 'svd').
