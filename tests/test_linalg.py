@@ -29,6 +29,21 @@ def test_solve_with_chol_batched():
         np.testing.assert_allclose(got[k], As[k] @ np.linalg.inv(Bs[k]), rtol=1e-8)
 
 
+def test_spd_inverse_from_chol():
+    """B^{-1} from the Cholesky factor (the 'inverse' inner-solve mode),
+    single and batched: A @ Binv must equal the triangular-solve solution."""
+    B = _spd(4)
+    L = np.asarray(LA.chol_lower(jnp.asarray(B)))
+    Binv = np.asarray(LA.spd_inverse_from_chol(jnp.asarray(L)))
+    np.testing.assert_allclose(Binv, np.linalg.inv(B), rtol=1e-9, atol=1e-12)
+    Bs = np.stack([_spd(3) for _ in range(5)])
+    Ls = np.asarray(LA.chol_lower(jnp.asarray(Bs)))
+    Binvs = np.asarray(LA.spd_inverse_from_chol(jnp.asarray(Ls)))
+    As = rng.standard_normal((5, 7, 3))
+    via_chol = np.asarray(LA.solve_with_chol(jnp.asarray(Ls), jnp.asarray(As)))
+    np.testing.assert_allclose(As @ Binvs, via_chol, rtol=1e-8, atol=1e-11)
+
+
 def test_sylvester_sym():
     B2 = _spd(6)
     B = _spd(3)
