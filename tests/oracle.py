@@ -27,6 +27,30 @@ def _frob(x):
     return np.linalg.norm(np.asarray(x))
 
 
+def _t_smoothness_prox(mats, rho, eta):
+    """tPARAFAC2 joint prox: block-tridiagonal solve by Thomas-algorithm
+    Gaussian elimination over matrix-valued RHS, written directly from
+    t_smoothness_prox.m:23-56 (diag 4*eta+rho_k, boundary-corrected to
+    2*eta+rho_k, off-diag -2*eta, RHS rho_k*(B_k+mu_k))."""
+    K = len(rho)
+    c = -2.0 * eta
+    d = 4.0 * eta + np.asarray(rho, np.float64).copy()
+    d[0] -= 2.0 * eta
+    d[-1] -= 2.0 * eta
+    rhs = [rho[k] * mats[k] for k in range(K)]
+    for i in range(1, K):
+        mfac = c / d[i - 1]
+        d[i] = d[i] - mfac * c
+        rhs[i] = rhs[i] - mfac * rhs[i - 1]
+    out = [None] * K
+    q = rhs[-1] / d[-1]
+    out[-1] = q
+    for k in range(K - 2, -1, -1):
+        q = (rhs[k] - c * q) / d[k]
+        out[k] = q
+    return out
+
+
 class OracleCMTF:
     """Coupled CP datasets, Frobenius, nonneg-constrained modes, one exact
     coupling id (or none)."""
@@ -219,7 +243,8 @@ class OracleParafac2:
     bk_prox: optional numpy callable (B (J_k, R), rho_k) -> (J_k, R) applied
              per slice on the TRUE J_k rows (cmtf_fun_AOADMM.m:567-578)."""
 
-    def __init__(self, slices, state, weight=1.0, sizes=None, bk_prox=None):
+    def __init__(self, slices, state, weight=1.0, sizes=None, bk_prox=None,
+                 bk_tpar2_eta=None):
         self.X = [np.array(s, np.float64) for s in slices]
         self.K = len(self.X)
         self.w = weight
@@ -227,6 +252,7 @@ class OracleParafac2:
             sizes = [np.asarray(state.fac[1]).shape[1]] * self.K
         self.sizes = list(sizes)
         self.bk_prox = bk_prox
+        self.bk_tpar2_eta = bk_tpar2_eta
         self.A = np.array(state.fac[0], np.float64)
         self.B = [np.array(state.fac[1][k, :J], np.float64)
                   for k, J in enumerate(self.sizes)]
@@ -240,7 +266,7 @@ class OracleParafac2:
                    if state.constraint_fac[0] is not None else None)
         self.UA = (np.array(state.constraint_dual_fac[0], np.float64)
                    if state.constraint_dual_fac[0] is not None else None)
-        if bk_prox is not None:
+        if bk_prox is not None or bk_tpar2_eta is not None:
             self.ZB = [np.array(state.constraint_fac[1][k, :J], np.float64)
                        for k, J in enumerate(self.sizes)]
             self.UB = [np.array(state.constraint_dual_fac[1][k, :J],
@@ -254,6 +280,11 @@ class OracleParafac2:
         self.gramB = [b.T @ b for b in self.B]
 
     def sweep(self, opts):
+        self._update_A(opts)
+        self._update_B(opts)
+        self._update_C(opts)
+
+    def _update_A(self, opts):
         R = self.A.shape[1]
         w = self.w
         # mode A (cmtf_fun_AOADMM.m:159-190)
@@ -287,8 +318,11 @@ class OracleParafac2:
             self.A = np.linalg.solve(Bm.T, Am.T).T
         self.gramA = self.A.T @ self.A
 
+    def _update_B(self, opts):
+        R = self.A.shape[1]
+        w = self.w
         # mode Bk (:191-218, ADMM :509-589)
-        constrained_B = self.bk_prox is not None
+        constrained_B = self.bk_prox is not None or self.bk_tpar2_eta is not None
         Ak = []
         rhok = np.zeros(self.K)
         Lk = []
@@ -329,15 +363,24 @@ class OracleParafac2:
             for k in range(self.K):
                 self.mu[k] = self.mu[k] + self.B[k] - self.P[k] @ self.DB
             if constrained_B:
-                # slice-wise prox on TRUE sizes (:567-578) + residuals (:582-585)
+                # tPARAFAC2 joint prox over all K slices (:553-565) OR
+                # slice-wise prox on TRUE sizes (:567-578); residuals
+                # identical in both branches (:557-564 vs :570-577)
+                oldZs = [z.copy() for z in self.ZB]
+                if self.bk_tpar2_eta is not None:
+                    self.ZB = _t_smoothness_prox(
+                        [self.B[k] + self.UB[k] for k in range(self.K)],
+                        rhok, self.bk_tpar2_eta)
+                else:
+                    for k in range(self.K):
+                        self.ZB[k] = self.bk_prox(self.B[k] + self.UB[k],
+                                                  rhok[k])
                 prc = drc = 0.0
                 for k in range(self.K):
-                    oldZ = self.ZB[k]
-                    self.ZB[k] = self.bk_prox(self.B[k] + self.UB[k], rhok[k])
                     self.UB[k] = self.UB[k] + self.B[k] - self.ZB[k]
                     prc += _frob(self.B[k] - self.ZB[k]) / _frob(self.B[k])
                     s = _frob(self.UB[k])
-                    d = _frob(oldZ - self.ZB[k])
+                    d = _frob(oldZs[k] - self.ZB[k])
                     drc += d / s if s > 0 else d
                 prc /= self.K
                 drc /= self.K
@@ -352,6 +395,9 @@ class OracleParafac2:
             it += 1
         self.gramB = [b.T @ b for b in self.B]
 
+    def _update_C(self, opts):
+        R = self.A.shape[1]
+        w = self.w
         # mode C, row-wise (:219-248)
         for k in range(self.K):
             a = w * np.diag(self.A.T @ self.X[k] @ self.B[k])
@@ -393,9 +439,21 @@ class OracleParafac2:
             Mk = self.A @ np.diag(self.C[k]) @ self.B[k].T
             f += np.sum((self.X[k] - Mk) ** 2)
         f *= self.w
+        if self.bk_tpar2_eta is not None:
+            # joint t_smoothness penalty on the PRIMAL Bk's
+            # (cmtf_fun_AOADMM.m:1276-1277, t_smoothness_penalty.m:5-9)
+            f += self.bk_tpar2_eta * sum(
+                np.sum((self.B[k] - self.B[k - 1]) ** 2)
+                for k in range(1, self.K))
         fp = sum(_frob(self.B[k] - self.P[k] @ self.DB) / _frob(self.B[k])
                  for k in range(self.K))
         return f, fp / self.K
+
+    def constraint_stream_B(self):
+        """f_constraints contribution of the Bk mode: per-slice relative gaps
+        averaged over K (cmtf_fun_AOADMM.m:1337-1341)."""
+        return sum(_frob(self.B[k] - self.ZB[k]) / _frob(self.B[k])
+                   for k in range(self.K)) / self.K
 
 
 class OracleCoupledH:
@@ -726,3 +784,165 @@ class OracleMissingEM(OracleCMTF):
         M = np.where(self.mask, np.einsum(eq, *facs, optimize=True), 0.0)
         X = self.Xs[0]
         return znorm - 2 * np.sum(X * M) + np.sum(M * M)
+
+
+class OracleParafac2CoupledC5:
+    """PARAFAC2 (global modes 0,1,2) whose C mode is type-5 coupled to the
+    row factor of a matrix dataset (global modes 3,4): the kron-vectorized
+    PAR2-C factor solve (cmtf_fun_AOADMM.m:998-1010), per-row Delta systems
+    with the leftover-loop-variable rho quirk (:1026-1054), mean-rho
+    constraint terms (:379-381, :1007) with max-rho prox (:1423-1424), and
+    case-5 residuals (:1195-1210).
+
+    Hs[2]=H1 for the C mode ((q,K), q must equal K for the reference's
+    per-row Delta indexing), H2s[2]=(s,R); Hs[3]/H2s[3] for the matrix mode.
+    c_l1_eta: optional l1 regularization on the C mode (rho-DEPENDENT prox,
+    so the max-vs-mean rho quirks are actually exercised)."""
+
+    def __init__(self, slices, Y, state, Hs, H2s, weights=(0.5, 0.5),
+                 c_l1_eta=None, sizes=None):
+        self.par2 = OracleParafac2(slices, state, weight=weights[0],
+                                   sizes=sizes)
+        self.Y = np.asarray(Y, np.float64)
+        self.wm = weights[1]
+        self.F3 = np.array(state.fac[3], np.float64)
+        self.F4 = np.array(state.fac[4], np.float64)
+        self.gram3 = self.F3.T @ self.F3
+        self.gram4 = self.F4.T @ self.F4
+        self.H1c = np.asarray(Hs[2], np.float64)
+        self.H2c = np.asarray(H2s[2], np.float64)
+        self.H1m = np.asarray(Hs[3], np.float64)
+        self.H2m = np.asarray(H2s[3], np.float64)
+        self.Delta = np.array(state.coupling_fac[0], np.float64)
+        self.muC = np.array(state.coupling_dual_fac[2], np.float64)
+        self.mu3 = np.array(state.coupling_dual_fac[3], np.float64)
+        self.c_l1_eta = c_l1_eta
+        if c_l1_eta is not None:
+            self.ZC = np.array(state.constraint_fac[2], np.float64)
+            self.UC = np.array(state.constraint_dual_fac[2], np.float64)
+        else:
+            self.ZC = self.UC = None
+        self.last_A3 = None
+        self.last_had3 = None
+
+    def sweep(self, opts):
+        b = self.par2
+        # coupl_id 0: PAR2 A and Bk, then the matrix's free column mode
+        b._update_A(opts)
+        b._update_B(opts)
+        A4 = self.wm * self.Y.T @ self.F3
+        B4 = self.wm * self.gram3
+        self.F4 = np.linalg.solve(B4.T, A4.T).T
+        self.gram4 = self.F4.T @ self.F4
+
+        # coupl_id 1 precompute: PAR2-C rows (:219-233) + matrix mode (:96-123)
+        K = b.K
+        R = b.A.shape[1]
+        As, Bs = [], []
+        rho2 = np.zeros(K)
+        for k in range(K):
+            a = b.w * np.diag(b.A.T @ b.X[k] @ b.B[k])
+            c = b.gramA * b.gramB[k]
+            rho2[k] = np.trace(c) / R
+            As.append(a)
+            Bs.append(b.w * c)
+        A3 = self.wm * self.Y @ self.F4
+        C3 = self.gram4
+        rho3 = np.trace(C3) / C3.shape[0]
+        B3 = self.wm * C3
+        self.last_A3, self.last_had3 = A3 / self.wm, C3.copy()
+
+        # case-5 precompute (:367-389): blkdiag + mean(rho)/2 * kron'kron
+        HcI = np.kron(self.H1c, np.eye(R))
+        B2C = np.zeros((K * R, K * R))
+        for k in range(K):
+            B2C[k * R:(k + 1) * R, k * R:(k + 1) * R] = Bs[k]
+        B2C = B2C + np.mean(rho2) / 2 * HcI.T @ HcI
+        if self.ZC is not None:
+            B2C = B2C + np.mean(rho2) / 2 * np.eye(K * R)
+        B2_3 = rho3 / 2 * self.H1m.T @ self.H1m
+
+        from scipy.linalg import solve_sylvester
+        prk = prc = drk = drc = np.inf
+        if self.ZC is None:
+            prc = drc = 0.0
+        it = 1
+        while it <= opts.MaxInnerIters and (
+                prk > opts.innerRelPrTol_coupl
+                or prc > opts.innerRelPrTol_constr
+                or drk > opts.innerRelDualTol_coupl
+                or drc > opts.innerRelDualTol_constr):
+            # factor updates, ascending mode order (2 then 3)
+            rhoC2 = np.mean(rho2)
+            A_large = np.concatenate(As)                      # rows stacked
+            v = (self.Delta @ self.H2c - self.muC).reshape(-1)
+            Ai = A_large + rhoC2 / 2 * (HcI.T @ v)
+            if self.ZC is not None:
+                Ai = Ai + rhoC2 / 2 * (self.ZC - self.UC).reshape(-1)
+            b.C = np.linalg.solve(B2C, Ai).reshape(K, R)
+            Ai3 = A3 + rho3 / 2 * self.H1m.T @ (self.Delta @ self.H2m
+                                                - self.mu3)
+            self.F3 = solve_sylvester(B2_3, B3, Ai3)
+
+            # Delta: per-row systems; rhoC = mean(rho of the LAST coupled
+            # mode) everywhere (leftover `mm` quirk, :1032-1046)
+            oldD = self.Delta.copy()
+            rhoCq = rho3
+            AA = rhoCq * self.H2m @ self.H2m.T
+            AAA = self.H2c @ self.H2c.T
+            BB = rhoCq * ((self.H1c @ b.C + self.muC) @ self.H2c.T
+                          + (self.H1m @ self.F3 + self.mu3) @ self.H2m.T)
+            for kk in range(self.Delta.shape[0]):
+                self.Delta[kk] = np.linalg.solve((AA + rho2[kk] * AAA).T,
+                                                 BB[kk])
+
+            # duals (:1062), then constraint prox with max(rho) (:1423-1424)
+            self.muC = self.muC + self.H1c @ b.C - self.Delta @ self.H2c
+            self.mu3 = self.mu3 + self.H1m @ self.F3 - self.Delta @ self.H2m
+            if self.ZC is not None:
+                oldZ = self.ZC
+                thr = self.c_l1_eta / np.max(rho2)
+                x = b.C + self.UC
+                self.ZC = np.sign(x) * np.maximum(np.abs(x) - thr, 0.0)
+                self.UC = self.UC + b.C - self.ZC
+
+            # residuals (:1195-1210)
+            prk = (_frob(self.H1c @ b.C - self.Delta @ self.H2c) / _frob(b.C)
+                   + _frob(self.H1m @ self.F3 - self.Delta @ self.H2m)
+                   / _frob(self.F3)) / 2
+            drk = 0.0
+            for mu, H2 in ((self.muC, self.H2c), (self.mu3, self.H2m)):
+                s = _frob(mu)
+                d = _frob((self.Delta - oldD) @ H2)
+                drk += d / s if s > 0 else d
+            drk /= 2
+            if self.ZC is not None:
+                prc = _frob(b.C - self.ZC) / _frob(b.C)
+                s = _frob(self.UC)
+                d = _frob(self.ZC - oldZ)
+                drc = d / s if s > 0 else d
+            it += 1
+        self.gram3 = self.F3.T @ self.F3
+
+    def objective(self, znorm_mat):
+        b = self.par2
+        f, fp = b.objective(None)        # PAR2 full per-slice residual
+        # f_PAR2_couplings divisor quirk (cmtf_fun_AOADMM.m:1361): the /K
+        # uses the LAST dataset's 2nd-mode size (leftover loop variable pp).
+        # Here the last dataset is the matrix (scalar mode size) -> /1, so
+        # undo the base class's /K.
+        fp = fp * b.K
+        # matrix dataset: cached-MTTKRP form, last updated mode = 3
+        f2 = np.sum(self.last_A3 * self.F3)
+        f3 = np.sum(self.last_had3 * self.gram3)
+        f += self.wm * (znorm_mat - 2 * f2 + f3)
+        if self.c_l1_eta is not None:
+            f += self.c_l1_eta * np.sum(np.abs(b.C))   # reg_func (l1)
+        # f_couplings, case 5 (:1321-1326): gap relative to the TRANSFORM
+        t2 = self.H1c @ b.C
+        t3 = self.H1m @ self.F3
+        fc = (_frob(t2 - self.Delta @ self.H2c) / _frob(t2)
+              + _frob(t3 - self.Delta @ self.H2m) / _frob(t3))
+        fz = (_frob(b.C - self.ZC) / _frob(b.C)
+              if self.ZC is not None else 0.0)
+        return f, fc, fz, fp

@@ -395,3 +395,116 @@ def test_oracle_parity_ragged_bk_simplex():
         np.testing.assert_allclose(
             np.asarray(state.constraint_fac[1][k, :J]).sum(axis=0),
             1.0, rtol=1e-8)
+
+
+def test_oracle_parity_par2C_case5():
+    """Case-5 coupling ON THE PARAFAC2 C MODE: kron-vectorized C solve,
+    per-row Delta systems, leftover-rho quirk, and mean-rho constraint terms
+    with max-rho l1 prox (cmtf_fun_AOADMM.m:998-1054, 1423-1424)."""
+    import dataclasses
+    from matlab_code_tpu.problem import ProblemData, Parafac2Tensor
+    from tests.oracle import OracleParafac2CoupledC5
+
+    K, J, I, R = 4, 6, 5, 2
+    n3, n4 = 4, 7
+    rng = np.random.default_rng(8)
+    slices = [rng.uniform(size=(I, J)) for _ in range(K)]
+    Y = rng.uniform(size=(n3, n4))
+    H1c = np.eye(K)                          # q == K (per-row Delta indexing)
+    H2c = rng.standard_normal((2, R)) + np.eye(2, R)
+    H1m = rng.standard_normal((K, n3)) + np.eye(K, n3)
+    H2m = rng.standard_normal((2, R)) + np.eye(2, R)
+    eta_l1 = 0.05
+
+    spec = ProblemSpec(
+        mode_sizes=(I, (J,) * K, K, n3, n4),
+        datasets=(DatasetSpec(model="PAR2", modes=(0, 1, 2), rank=R,
+                              weight=0.5),
+                  DatasetSpec(model="CP", modes=(3, 4), rank=R, weight=0.5)),
+        coupling=CouplingSpec(lin_coupled_modes=(0, 0, 1, 1, 0),
+                              coupling_type=(5,)),
+        constraints=(None, None,
+                     ConstraintSpec("l1 regularization", (eta_l1,)),
+                     None, None))
+    data = ProblemData(
+        objects=(Parafac2Tensor.from_list([jnp.asarray(s) for s in slices]),
+                 jnp.asarray(Y)),
+        coupl_trafo=(None, None, jnp.asarray(H1c), jnp.asarray(H1m), None),
+        coupl_trafo2=(None, None, jnp.asarray(H2c), jnp.asarray(H2m), None))
+    init = InitOptions(distr=("rand",) * 5, normalize=True,
+                       lambdas_init=((1,) * R, (1,) * R))
+    state0 = init_coupled(spec, data, init, key=5,
+                          delta_shapes={1: (K, 2)})
+    T = 10
+    opts = AlgOptions(MaxOuterIters=T, AbsFuncTol=0.0, OuterRelTol=0.0)
+    state, out = fit(spec, data, state0, opts)
+
+    orc = OracleParafac2CoupledC5(
+        slices, Y, state0, Hs={2: H1c, 3: H1m}, H2s={2: H2c, 3: H2m},
+        weights=(0.5, 0.5), c_l1_eta=eta_l1)
+    znorm_mat = float(compute_znorm_consts(spec, data, opts)[1])
+    traj = []
+    for _ in range(T):
+        orc.sweep(opts)
+        traj.append(orc.objective(znorm_mat))
+    traj = np.asarray(traj)
+
+    np.testing.assert_allclose(out.func_val_conv[1:], traj[:, 0],
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(out.func_coupl_conv[1:], traj[:, 1],
+                               rtol=1e-8, atol=1e-11)
+    np.testing.assert_allclose(out.func_constr_conv[1:], traj[:, 2],
+                               rtol=1e-8, atol=1e-11)
+    np.testing.assert_allclose(out.func_PAR2_coupl[1:], traj[:, 3],
+                               rtol=1e-8, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(state.fac[2]), orc.par2.C,
+                               rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(state.fac[3]), orc.F3,
+                               rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(state.coupling_fac[0]), orc.Delta,
+                               rtol=1e-7, atol=1e-9)
+
+
+def test_oracle_parity_tparafac2_joint_prox():
+    """tPARAFAC2: the joint block-tridiagonal Thomas prox over all K slices
+    (t_smoothness_prox.m:23-56) + its penalty in f_tensors
+    (cmtf_fun_AOADMM.m:1276-1277), inside a full fit."""
+    from tests.oracle import OracleParafac2
+
+    K, J, I, R = 5, 8, 7, 2
+    eta = 3.0
+    spec = ProblemSpec(
+        mode_sizes=(I, (J,) * K, K),
+        datasets=(DatasetSpec(model="PAR2", modes=(0, 1, 2), rank=R),),
+        coupling=CouplingSpec(lin_coupled_modes=(0, 0, 0), coupling_type=()),
+        constraints=(None, ConstraintSpec("tPARAFAC2", (eta,)), None))
+    data, _, _, _ = create_coupled_data(
+        spec, lambdas=[[1, 1]], noise=0.05,
+        distr=["rand", "randn", "rand+0.1"], rng=6)
+    data, _ = normalize_data(spec, data)
+    init = InitOptions(distr=("rand", "randn", "rand+0.1"), normalize=True,
+                       lambdas_init=((1, 1),))
+    state0 = init_coupled(spec, data, init, key=5)
+    T = 12
+    opts = AlgOptions(MaxOuterIters=T, AbsFuncTol=0.0, OuterRelTol=0.0)
+    state, out = fit(spec, data, state0, opts)
+
+    slices = [np.asarray(data.objects[0].slices[k]) for k in range(K)]
+    orc = OracleParafac2(slices, state0, weight=1.0, bk_tpar2_eta=eta)
+    fs, fps, fzs = [], [], []
+    for _ in range(T):
+        orc.sweep(opts)
+        f, fp = orc.objective(None)
+        fs.append(f)
+        fps.append(fp)
+        fzs.append(orc.constraint_stream_B())
+
+    np.testing.assert_allclose(out.func_val_conv[1:], fs, rtol=1e-9,
+                               atol=1e-12)
+    np.testing.assert_allclose(out.func_PAR2_coupl[1:], fps, rtol=1e-8,
+                               atol=1e-12)
+    np.testing.assert_allclose(out.func_constr_conv[1:], fzs, rtol=1e-8,
+                               atol=1e-12)
+    for k in range(K):
+        np.testing.assert_allclose(np.asarray(state.fac[1][k]), orc.B[k],
+                                   rtol=1e-7, atol=1e-9)
