@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from matlab_code_tpu.problem import (
-    ProblemSpec, ProblemData, CP, PAR2, Parafac2Tensor)
+    ProblemSpec, ProblemData, CP, PAR2, Parafac2Tensor, SparseTensor)
 from matlab_code_tpu.options import InitOptions
 from matlab_code_tpu.state import SolverState
 from matlab_code_tpu.ops.linalg import top_eigvecs
@@ -36,14 +36,44 @@ def _normalize_cols(A):
     return A / jnp.linalg.norm(A, axis=0, keepdims=True)
 
 
+def _coo_unfolding_gram(X: SparseTensor, shape, mode):
+    """Gram U_mode @ U_mode.T of the mode unfolding of a COO tensor without
+    densifying (the reference's sptenmat path, cmtf_nvecs.m:41-42).
+
+    Host-side setup work (init runs once per fit): a scipy CSR with rows =
+    mode index, cols = linearized rest index, then one sparse-sparse product
+    yields the small (I_n, I_n) Gram.  Any consistent column linearization
+    gives the same Gram."""
+    from scipy.sparse import csr_matrix
+    idx = np.asarray(X.indices)
+    val = np.asarray(X.values, np.float64)
+    rows = idx[:, mode].astype(np.int64)
+    rid = np.zeros(len(val), np.int64)
+    ncols = 1
+    for d in range(len(shape)):
+        if d != mode:
+            rid = rid * shape[d] + idx[:, d]
+            ncols *= int(shape[d])
+    S = csr_matrix((val, (rows, rid)), shape=(int(shape[mode]), ncols))
+    return np.asarray((S @ S.T).todense())
+
+
 def cmtf_nvecs(spec: ProblemSpec, data: ProblemData, n: int, r: int):
     """Leading r eigenvectors of the Gram of the concatenated mode-n
-    unfoldings of every dataset containing mode n (cmtf_nvecs.m:34-56)."""
+    unfoldings of every dataset containing mode n (cmtf_nvecs.m:34-56),
+    including the sptenmat path for COO tensors (cmtf_nvecs.m:41-42)."""
     Y = None
     for p, ds in enumerate(spec.datasets):
         if n in ds.modes and ds.model == CP:
-            U = unfold(jnp.asarray(data.objects[p]), ds.modes.index(n))
-            G = U @ U.T
+            X = data.objects[p]
+            if isinstance(X, SparseTensor):
+                sizes = tuple(spec.mode_sizes[m] for m in ds.modes)
+                G = jnp.asarray(
+                    _coo_unfolding_gram(X, sizes, ds.modes.index(n)),
+                    dtype=X.values.dtype)
+            else:
+                U = unfold(jnp.asarray(X), ds.modes.index(n))
+                G = U @ U.T
             Y = G if Y is None else Y + G
     if Y is None:
         raise ValueError(f"nvecs: mode {n} not found in any CP dataset")

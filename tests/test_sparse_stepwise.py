@@ -86,3 +86,19 @@ def test_stepwise_matches_fused_fit():
     t = out2.time_at_it
     assert t is not None and len(t) == out2.OuterIterations + 1
     assert np.all(np.diff(t) >= 0)
+
+
+def test_sparse_nvecs_init_matches_dense():
+    """nvecs spectral init on a COO tensor (cmtf_nvecs.m:41-42 sptenmat
+    path) equals the dense-path init on the densified fixture."""
+    spec, data, init = _dense_problem()
+    Xd = np.asarray(data.objects[0])
+    sp_data = dataclasses.replace(
+        data, objects=(SparseTensor.from_dense(Xd),))
+    init_nv = dataclasses.replace(init, nvecs=True)
+    st_dense = init_coupled(spec, data, init_nv, key=3)
+    st_sparse = init_coupled(spec, sp_data, init_nv, key=3)
+    for m in range(3):
+        np.testing.assert_allclose(np.asarray(st_sparse.fac[m]),
+                                   np.asarray(st_dense.fac[m]),
+                                   rtol=1e-8, atol=1e-10)
