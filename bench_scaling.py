@@ -1,10 +1,18 @@
 """Weak-scaling harness: iterations/s of the fully sharded coupled step at
 1/2/4/8 devices with the per-device problem size held constant.
 
-On this box it runs on virtual CPU devices (set JAX_PLATFORMS=cpu
-XLA_FLAGS=--xla_force_host_platform_device_count=8) to validate the sharding
-path and measure parallel efficiency of the partitioned program; on a real
-multi-chip slice the same code scales over ICI.
+On this box it runs on VIRTUAL CPU devices (JAX_PLATFORMS=cpu
+XLA_FLAGS=--xla_force_host_platform_device_count=8), where all "devices"
+time-share one physical host AND XLA splits the host thread pool per
+virtual device — so NO it/s ratio between device counts is a scaling
+efficiency, in either direction.  On a virtual mesh this harness therefore
+reports STRUCTURE VALIDATION ONLY: the fully sharded program (XLA-derived
+partitioning and explicit shard_map collectives) compiles, runs, and
+produces finite results at every device count, with the raw it/s recorded
+for completeness and explicitly labeled non-comparable.  Hardware
+weak-scaling (the >=80%-at-2-hosts north star) needs a real multi-chip
+slice, where this same code scales over ICI and the efficiency metric
+below activates.
 """
 import json
 import time
@@ -14,10 +22,12 @@ import jax
 import jax.numpy as jnp
 
 
-def measure(n_devices: int, iters: int = 10, explicit: bool = False) -> float:
-    """iters/s of the sharded coupled step.  explicit=True replaces the
-    XLA-derived CP MTTKRP partitioning with the hand-pinned shard_map
-    collectives (parallel/shard_mttkrp.py)."""
+def measure(n_devices: int, iters: int = 20, explicit: bool = False,
+            repeats: int = 3) -> float:
+    """Best-of-`repeats` iters/s of the sharded coupled step (timing noise
+    on a shared host is one-sided, so best-of is the low-noise estimator).
+    explicit=True replaces the XLA-derived CP MTTKRP partitioning with the
+    hand-pinned shard_map collectives (parallel/shard_mttkrp.py)."""
     import __graft_entry__ as ge
     from matlab_code_tpu.parallel.sharding import (
         make_mesh, data_shardings, state_shardings)
@@ -33,10 +43,9 @@ def measure(n_devices: int, iters: int = 10, explicit: bool = False) -> float:
     if explicit:
         from matlab_code_tpu.parallel.shard_mttkrp import \
             build_sharded_mttkrps
-        from matlab_code_tpu.models.solver import AlgOptions as _A
+        from matlab_code_tpu import AlgOptions
         proxes, reg_fns = build_proxes(spec)
         impls = build_sharded_mttkrps(spec, data, mesh)
-        from matlab_code_tpu import AlgOptions
         step = make_outer_step(spec, AlgOptions(MaxOuterIters=100), proxes,
                                reg_fns, True, mttkrp_impls=impls)
     data_sh, sharded = data_shardings(spec, data, mesh)
@@ -56,21 +65,25 @@ def measure(n_devices: int, iters: int = 10, explicit: bool = False) -> float:
     args = (jax.device_put(state, state_sh), jax.device_put(data, data_sh),
             jax.device_put(grams, gram_sh), jax.device_put(colnorms, rep))
     out = jitted(*args)
-    np.asarray(out[0].fac[0])
-    t0 = time.perf_counter()
-    out = jitted(*args)
-    np.asarray(out[0].fac[0])
-    return iters / (time.perf_counter() - t0)
+    np.asarray(out[0].fac[0])        # warmup + compile
+    best = 0.0
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = jitted(*args)
+        np.asarray(out[0].fac[0])
+        best = max(best, iters / (time.perf_counter() - t0))
+    return best
 
 
 def main(write_artifact: bool = False):
     results = {}
     results_explicit = {}
-    if jax.devices()[0].platform == "cpu":
-        print("# NOTE: virtual CPU devices share one physical host — this "
-              "validates the sharded program, it does not measure hardware "
-              "scaling (per-'device' efficiency is bounded by core "
-              "oversubscription + emulated collectives).")
+    virtual = jax.devices()[0].platform == "cpu"
+    if virtual:
+        print("# NOTE: virtual CPU devices time-share one host and split "
+              "its thread pool — it/s across device counts is NOT "
+              "comparable; this run is collective-structure validation "
+              "only, not a scaling measurement.")
     counts = [n for n in (1, 2, 4, 8) if n <= len(jax.devices())]
     for n in counts:
         results[n] = measure(n)
@@ -81,29 +94,47 @@ def main(write_artifact: bool = False):
         print(f"devices={n}: {results_explicit[n]:.2f} it/s "
               f"(explicit shard_map collectives)")
     effs = {}
-    if len(counts) > 1:
+    if len(counts) > 1 and not virtual:
         base = results[counts[0]]
         for n in counts[1:]:
             effs[n] = results[n] / base
             print(f"weak-scaling efficiency @ {n} devices: {effs[n]:.2%}")
-    record = {"metric": "weak_scaling_iters_per_s",
-              "value": results[counts[-1]],
-              "unit": "outer_iters/s",
-              "vs_baseline": round(results[counts[-1]] /
-                                   results[counts[0]], 3)}
+    if virtual:
+        record = {"metric": "sharded_program_device_counts_validated",
+                  "value": len(counts),
+                  "unit": "device_counts",
+                  "vs_baseline": None}
+    else:
+        record = {"metric": "weak_scaling_efficiency",
+                  "value": round(effs.get(counts[-1], 1.0), 4),
+                  "unit": "fraction",
+                  "vs_baseline": round(results[counts[-1]] /
+                                       results[counts[0]], 3)}
     print(json.dumps(record))
     if write_artifact:
         art = {"platform": jax.devices()[0].platform,
                "devices": counts,
-               "iters_per_s_pjit": results,
-               "iters_per_s_explicit_shard_map": results_explicit,
-               "weak_scaling_efficiency": effs,
-               "note": ("virtual CPU mesh: validates the partitioned "
-                        "program + collective structure; hardware scaling "
-                        "needs a real multi-chip slice")}
-        with open("SCALING_r02.json", "w") as f:
+               "scaling_measurement": not virtual,
+               "raw_iters_per_s_pjit_NOT_COMPARABLE_ACROSS_N" if virtual
+               else "iters_per_s_pjit": results,
+               "raw_iters_per_s_explicit_shard_map_NOT_COMPARABLE_ACROSS_N"
+               if virtual else "iters_per_s_explicit_shard_map":
+                   results_explicit,
+               "weak_scaling_efficiency": effs if not virtual else None,
+               "note": ("virtual CPU mesh: devices time-share one host and "
+                        "split its thread pool, so it/s is NOT comparable "
+                        "across device counts in either direction — this "
+                        "artifact witnesses only that the fully sharded "
+                        "program (pjit + explicit shard_map collectives) "
+                        "compiles and runs at every device count.  Hardware "
+                        "weak-scaling requires a real multi-chip slice; "
+                        "tests/test_shard_mttkrp.py and dryrun_multichip "
+                        "pin its numeric correctness."
+                        if virtual else
+                        "hardware weak-scaling at constant per-device work")}
+        with open("SCALING_r03.json", "w") as f:
             json.dump(art, f, indent=1, default=float)
-        print("wrote SCALING_r02.json")
+        print("wrote SCALING_r03.json")
 
 
 if __name__ == "__main__":
