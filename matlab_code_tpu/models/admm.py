@@ -16,8 +16,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from matlab_code_tpu.ops.linalg import (
-    solve_with_chol, solve_spd_left, spd_inverse_from_chol, polar_orth,
-    polar_orth_ns)
+    chol_lower, solve_with_chol, solve_spd_left, spd_inverse_from_chol,
+    spd_inverse_newton, polar_orth, polar_orth_ns)
 from matlab_code_tpu.problem import ProblemSpec
 from matlab_code_tpu.state import SolverState, tuple_set
 
@@ -52,35 +52,65 @@ def make_update_constraint(spec: ProblemSpec, proxes):
     return upd
 
 
-def _resolve_inner_solve(options) -> str:
+def _resolve_inner_solve(options, batched: bool = False) -> str:
     method = options.inner_solve
-    if method not in ("auto", "chol", "inverse"):
-        raise ValueError(f"inner_solve must be 'auto'|'chol'|'inverse', "
-                         f"got {method!r}")
+    if method not in ("auto", "chol", "inverse", "newton"):
+        raise ValueError(f"inner_solve must be 'auto'|'chol'|'inverse'"
+                         f"|'newton', got {method!r}")
     if method == "auto":
-        return "inverse" if jax.default_backend() == "tpu" else "chol"
+        if jax.default_backend() == "tpu":
+            return "newton" if batched else "inverse"
+        return "chol"
     return method
 
 
-def make_right_solver(L, options):
-    """Solver for X B = A (A row-shaped), B = L L^T.  'chol' = the
-    reference's two triangular substitutions per call
-    (cmtf_fun_AOADMM.m:608-609); 'inverse' = B^{-1} once (build this OUTSIDE
-    the inner while_loop so it amortizes over inner iterations), one matmul
-    per call — ~3x faster on the TPU MXU, same solution to ~eps*cond."""
-    if _resolve_inner_solve(options) == "chol":
-        return lambda A: solve_with_chol(L, A)
-    Binv = spd_inverse_from_chol(L)
-    return lambda A: A @ Binv
+def _chol_rcond_bad(L, tol: float):
+    """Early ill-conditioning check on a Cholesky factor (or batch of them):
+    the rcond estimate (min/max diagonal)^2 below tol, or non-finite.  The
+    TPU-native analogue of the reference's nearlySingularMatrix promotion
+    (cmtf_fun_AOADMM.m:83-84)."""
+    d = jnp.abs(jnp.diagonal(L, axis1=-2, axis2=-1))
+    r = (jnp.min(d) / jnp.max(d)) ** 2
+    return ~jnp.isfinite(r) | (r < tol)
 
 
-def make_left_rowsolver(L, options):
-    """Row-batched B_k x_k = a_k solver: A (K, R) -> (K, R) (the PAR2-C
-    per-row systems, cmtf_fun_AOADMM.m:602-606)."""
-    if _resolve_inner_solve(options) == "chol":
-        return lambda A: solve_spd_left(L, A[:, :, None])[:, :, 0]
+def make_spd_solver(Bmat, options, illtol: float = 0.0, lmin=None):
+    """Build the inner-ADMM solver pair for the assembled SPD normal matrix
+    (built ONCE per outer iteration, outside the inner while_loop, so
+    factorization / inversion amortizes over inner iterations).
+
+    Returns (right, rowleft, illc):
+      right(A):  solve X B = A with A row-shaped (the reference's (A/L')/L,
+                 cmtf_fun_AOADMM.m:608-609)
+      rowleft(A): row-batched B_k x_k = a_k, A (K, R) -> (K, R) (the PAR2-C
+                 per-row systems, cmtf_fun_AOADMM.m:602-606)
+      illc:      ill-conditioning flag (the nearlySingularMatrix analogue,
+                 cmtf_fun_AOADMM.m:83-84); always False when illtol == 0.
+
+    Method per options.inner_solve (see AlgOptions): 'chol' factorizes and
+    substitutes per call; 'inverse' factorizes and inverts once; 'newton'
+    inverts by matmul-only Newton-Hotelling — the TPU path for K-batched
+    systems, where jnp.linalg.cholesky is a slow sequential kernel.  lmin:
+    optional eigenvalue lower bound (the + rho/2 I terms of the ADMM
+    systems) sharpening the Newton initial scaling.
+    """
+    method = _resolve_inner_solve(options, batched=Bmat.ndim >= 3)
+    if method == "newton":
+        Binv, rcond = spd_inverse_newton(Bmat, lmin=lmin)
+        if illtol > 0:
+            illc = jnp.any(~jnp.isfinite(rcond) | (rcond < illtol))
+        else:
+            illc = jnp.bool_(False)
+        return (lambda A: A @ Binv,
+                lambda A: (Binv @ A[..., None])[..., 0], illc)
+    L = chol_lower(Bmat)
+    illc = _chol_rcond_bad(L, illtol) if illtol > 0 else jnp.bool_(False)
+    if method == "chol":
+        return (lambda A: solve_with_chol(L, A),
+                lambda A: solve_spd_left(L, A[..., None])[..., 0], illc)
     Binv = spd_inverse_from_chol(L)
-    return lambda A: (Binv @ A[:, :, None])[:, :, 0]
+    return (lambda A: A @ Binv,
+            lambda A: (Binv @ A[..., None])[..., 0], illc)
 
 
 def eval_res_constr(spec: ProblemSpec, state: SolverState, modes, oldZ: dict):
@@ -102,15 +132,13 @@ def eval_res_constr(spec: ProblemSpec, state: SolverState, modes, oldZ: dict):
 
 
 def admm_constrained_only(spec: ProblemSpec, state: SolverState, m: int, p: int,
-                          A, L, rho, options, proxes, lbfgs_step=None,
+                          A, solve, rho, options, proxes, lbfgs_step=None,
                           data=None):
-    """Returns (state, inner_iters, lbfgsb_total)."""
+    """Returns (state, inner_iters, lbfgsb_total).  solve: prebuilt
+    right/rowleft solver from make_spd_solver (None for non-Frobenius)."""
     upd = make_update_constraint(spec, proxes)
     role = spec.mode_role(m)
     frob = spec.datasets[p].loss == "Frobenius"
-    if frob:
-        solve = (make_left_rowsolver(L, options) if role == "par2_C"
-                 else make_right_solver(L, options))
 
     def cond(c):
         state, it, pr, dr, lb = c
@@ -150,14 +178,15 @@ def admm_constrained_only(spec: ProblemSpec, state: SolverState, m: int, p: int,
 
 
 def admm_b_parafac2(spec: ProblemSpec, state: SolverState, m: int, p: int,
-                    A, L, rho, options, proxes, constraint_active: bool,
+                    A, solve, rho, options, proxes, constraint_active: bool,
                     sizes=None):
     """The PARAFAC2-specific inner loop, batched over slices.
 
-    A: (K, Jmax, R); L: (K, R, R); rho: (K,).  sizes: static tuple of the
-    true slice sizes J_k, or None for regular (equal-size) slices — ragged
-    slices get the size-bucketed prox so row-coupled projections never see
-    the zero padding.
+    A: (K, Jmax, R); solve: prebuilt K-batched right solver from
+    make_spd_solver; rho: (K,).  sizes: static tuple of the true slice
+    sizes J_k, or None for regular (equal-size) slices — ragged slices get
+    the size-bucketed prox so row-coupled projections never see the zero
+    padding.
     """
     K = spec.par2_K(p)
     constrained = spec.is_constrained(m) and constraint_active
@@ -171,7 +200,6 @@ def admm_b_parafac2(spec: ProblemSpec, state: SolverState, m: int, p: int,
         method = "ns" if jax.default_backend() == "tpu" else "svd"
     polar = polar_orth if method == "svd" else partial(
         polar_orth_ns, iters=options.par2_polar_iters)
-    solve = make_right_solver(L, options)      # batched over K
     if constrained:
         kind = spec.constraints[m].kind
         upd_joint = kind == "tPARAFAC2"
@@ -490,24 +518,18 @@ def eval_res_coupling(spec, state, data, cmodes, cid, ctype, oldDelta):
 
 def admm_coupled(spec: ProblemSpec, state: SolverState, data, cmodes, cid,
                  ctype, As, Ls, Bs, B2s, rhos, options, proxes,
-                 lbfgs_steps=None):
+                 lbfgs_steps=None, solvers=None):
     """Unified coupled-ADMM loop covering cases 0-5
     (cmtf_fun_AOADMM.m:625-1075).  As/Ls/Bs/B2s/rhos: dicts keyed by mode.
+    solvers: per-mode right/rowleft solver fns prebuilt by make_spd_solver
+    OUTSIDE the while_loop (so inverse/newton factorization amortizes over
+    inner iterations); the case-1/5 paths keep L (kron-vectorized solve /
+    Sylvester).
 
     Returns (state, inner_iters, lbfgsb_totals dict)."""
     upd = make_update_constraint(spec, proxes)
     constrained_modes = tuple(m for m in cmodes if spec.is_constrained(m))
-    # per-mode inner solvers built OUTSIDE the while_loop (the 'inverse'
-    # mode inverts each loop-invariant normal matrix once per outer iter);
-    # the case-1/5 paths keep L (kron-vectorized solve / Sylvester).
-    solvers = {}
-    if ctype not in (1, 5):
-        for mm in cmodes:
-            if spec.datasets[spec.which_p(mm)].loss != "Frobenius":
-                continue
-            solvers[mm] = (make_left_rowsolver(Ls[mm], options)
-                           if _is_par2C(spec, mm)
-                           else make_right_solver(Ls[mm], options))
+    solvers = solvers or {}
 
     def cond(c):
         state, it, prc, drc, prk, drk, lb = c

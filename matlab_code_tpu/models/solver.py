@@ -36,7 +36,8 @@ from matlab_code_tpu.models.updates import (
     par2C_precompute, refresh_gram, par2_gram_Bk, nonfrob_rho,
     refresh_colnorm_init, refresh_colnorm_update)
 from matlab_code_tpu.models.admm import (
-    admm_constrained_only, admm_b_parafac2, admm_coupled)
+    admm_constrained_only, admm_b_parafac2, admm_coupled, make_spd_solver,
+    _chol_rcond_bad)
 from matlab_code_tpu.models.objective import func_eval, par2_model_slices
 from matlab_code_tpu.models.lbfgs_bridge import make_lbfgs_step
 
@@ -107,16 +108,6 @@ def compute_znorm_consts(spec: ProblemSpec, data: ProblemData,
 # ---------------------------------------------------------------------------
 
 
-def _chol_rcond_bad(L, tol: float):
-    """Early ill-conditioning check on a Cholesky factor (or batch of them):
-    the rcond estimate (min/max diagonal)^2 below tol, or non-finite.  The
-    TPU-native analogue of the reference's nearlySingularMatrix promotion
-    (cmtf_fun_AOADMM.m:83-84)."""
-    d = jnp.abs(jnp.diagonal(L, axis1=-2, axis2=-1))
-    r = (jnp.min(d) / jnp.max(d)) ** 2
-    return ~jnp.isfinite(r) | (r < tol)
-
-
 def make_outer_step(spec: ProblemSpec, options: AlgOptions, proxes, reg_fns,
                     bk_constraint_active: bool, mttkrp_impls=None):
     """mttkrp_impls: optional {(p, local_mode): fn} explicit-collective
@@ -143,6 +134,15 @@ def make_outer_step(spec: ProblemSpec, options: AlgOptions, proxes, reg_fns,
             if options.IllCondTol > 0:
                 illc = illc | _chol_rcond_bad(L, options.IllCondTol)
             return L
+
+        def spd_checked(B, lmin=None):
+            """(right, rowleft) solver pair for an assembled SPD normal
+            matrix, accumulating the ill-conditioning flag."""
+            nonlocal illc
+            right, rowleft, bad = make_spd_solver(
+                B, options, illtol=options.IllCondTol, lmin=lmin)
+            illc = illc | bad
+            return right, rowleft
 
         def balance_rho(m, res):
             """Residual-balancing update of the per-mode rho factor (Boyd
@@ -203,12 +203,13 @@ def make_outer_step(spec: ProblemSpec, options: AlgOptions, proxes, reg_fns,
                             else:
                                 if frob:
                                     eye = jnp.eye(R, dtype=pre.A.dtype)
-                                    L = chol_checked(
-                                        pre.B + 0.5 * pre.rho * eye)
+                                    solve, _ = spd_checked(
+                                        pre.B + 0.5 * pre.rho * eye,
+                                        lmin=0.5 * pre.rho)
                                 else:
-                                    L = None
+                                    solve = None
                                 state, nin, lb, res = admm_constrained_only(
-                                    spec, state, m, p, pre.A, L, pre.rho,
+                                    spec, state, m, p, pre.A, solve, pre.rho,
                                     options, proxes,
                                     lbfgs_steps.get(m), data)
                                 inner_its[m] = nin
@@ -237,9 +238,11 @@ def make_outer_step(spec: ProblemSpec, options: AlgOptions, proxes, reg_fns,
                                 inner_its[m] = jnp.int32(1)
                             else:
                                 eye = jnp.eye(R, dtype=pre.A.dtype)
-                                L = chol_checked(pre.B + 0.5 * pre.rho * eye)
+                                solve, _ = spd_checked(
+                                    pre.B + 0.5 * pre.rho * eye,
+                                    lmin=0.5 * pre.rho)
                                 state, nin, _, _ = admm_constrained_only(
-                                    spec, state, m, p, pre.A, L, pre.rho,
+                                    spec, state, m, p, pre.A, solve, pre.rho,
                                     options, proxes)
                                 inner_its[m] = nin
                         else:
@@ -248,14 +251,13 @@ def make_outer_step(spec: ProblemSpec, options: AlgOptions, proxes, reg_fns,
                         grams = refresh_gram(spec, state, grams, m)
                     elif role == "par2_B":
                         active = constrained and bk_constraint_active
-                        A, L, rho = par2B_precompute(
+                        A, Bk, rho = par2B_precompute(
                             spec, data, state, grams, p, m, options,
                             constraint_active=active, partials=partials)
-                        if options.IllCondTol > 0:
-                            illc = illc | _chol_rcond_bad(L, options.IllCondTol)
+                        solve, _ = spd_checked(Bk, lmin=0.5 * rho)
                         cached[p] = (None, None, 1)
                         state, nin = admm_b_parafac2(
-                            spec, state, m, p, A, L, rho, options, proxes,
+                            spec, state, m, p, A, solve, rho, options, proxes,
                             constraint_active=active,
                             sizes=spec.par2_slice_sizes(p))
                         inner_its[m] = nin
@@ -277,9 +279,9 @@ def make_outer_step(spec: ProblemSpec, options: AlgOptions, proxes, reg_fns,
                             else:
                                 eye = jnp.eye(R, dtype=pre.A.dtype)
                                 Bk = pre.B + 0.5 * pre.rho[:, None, None] * eye
-                                L = chol_checked(Bk)
+                                _, solve = spd_checked(Bk, lmin=0.5 * pre.rho)
                                 state, nin, _, _ = admm_constrained_only(
-                                    spec, state, m, p, pre.A, L, pre.rho,
+                                    spec, state, m, p, pre.A, solve, pre.rho,
                                     options, proxes)
                                 inner_its[m] = nin
                         else:
@@ -288,6 +290,7 @@ def make_outer_step(spec: ProblemSpec, options: AlgOptions, proxes, reg_fns,
             if cid != 0:
                 ctype = spec.coupling.coupling_type[cid - 1]
                 As, Ls, Bs, B2s, rhos = {}, {}, {}, {}, {}
+                solvers = {}
                 for m in cmodes:
                     p = spec.which_p(m)
                     ds = spec.datasets[p]
@@ -329,7 +332,9 @@ def make_outer_step(spec: ProblemSpec, options: AlgOptions, proxes, reg_fns,
                             B = pre.B + 0.5 * pre.rho * HHt
                             if constrained:
                                 B = B + 0.5 * pre.rho * eye
-                        Ls[m] = chol_checked(B)
+                        lmin = 0.5 * pre.rho if constrained else None
+                        right, rowleft = spd_checked(B, lmin=lmin)
+                        solvers[m] = rowleft if par2C else right
                     else:  # 0, 3, 4
                         if par2C:
                             B = pre.B + 0.5 * pre.rho[:, None, None] * eye
@@ -339,10 +344,11 @@ def make_outer_step(spec: ProblemSpec, options: AlgOptions, proxes, reg_fns,
                             B = pre.B + 0.5 * pre.rho * eye
                             if constrained:
                                 B = B + 0.5 * pre.rho * eye
-                        Ls[m] = chol_checked(B)
+                        right, rowleft = spd_checked(B, lmin=0.5 * pre.rho)
+                        solvers[m] = rowleft if par2C else right
                 state, nin, lb, res = admm_coupled(
                     spec, state, data, cmodes, cid, ctype, As, Ls, Bs, B2s,
-                    rhos, options, proxes, lbfgs_steps)
+                    rhos, options, proxes, lbfgs_steps, solvers=solvers)
                 for m in cmodes:
                     inner_its[m] = nin
                     p = spec.which_p(m)
@@ -566,6 +572,28 @@ def _has_bk_constraint(spec: ProblemSpec) -> bool:
     return False
 
 
+def attach_sparse_plans(spec: ProblemSpec, data: ProblemData,
+                        options: AlgOptions) -> ProblemData:
+    """Attach Pallas one-hot-MXU MTTKRP plans (ops/sparse_pallas.py) to any
+    3-way SparseTensor when the resolved sparse_mttkrp implementation is
+    'pallas'.  Host-side preprocessing, once per sparsity pattern; no-op on
+    other backends / when plans already exist."""
+    from dataclasses import replace as _dc_replace
+    from matlab_code_tpu.problem import SparseTensor
+    sm = options.sparse_mttkrp
+    if not (sm == "pallas" or
+            (sm == "auto" and jax.default_backend() == "tpu")):
+        return data
+    objs = list(data.objects)
+    changed = False
+    for p, X in enumerate(objs):
+        if isinstance(X, SparseTensor) and X.ndim == 3 and X.plans is None:
+            shape = tuple(spec.mode_sizes[m] for m in spec.datasets[p].modes)
+            objs[p] = X.with_plans(shape)
+            changed = True
+    return _dc_replace(data, objects=tuple(objs)) if changed else data
+
+
 def fit_stepwise(spec: ProblemSpec, data: ProblemData, state: SolverState,
                  options: AlgOptions, validate: bool = True):
     """Host-stepped variant of fit(): one jitted outer sweep per call, with
@@ -575,6 +603,7 @@ def fit_stepwise(spec: ProblemSpec, data: ProblemData, state: SolverState,
     if validate:
         check_data_input(spec, data)
         _warn_loss_data(spec, data)
+    data = attach_sparse_plans(spec, data, options)
     miss_flag = has_missing(data)
     znorms = compute_znorm_consts(spec, data, options)
     proxes, reg_fns = build_proxes(spec)
@@ -677,6 +706,7 @@ def fit(spec: ProblemSpec, data: ProblemData, state: SolverState,
     if validate:
         check_data_input(spec, data)
         _warn_loss_data(spec, data)
+    data = attach_sparse_plans(spec, data, options)
     miss_flag = has_missing(data)
     znorms = compute_znorm_consts(spec, data, options)
     # .dtype (not np.asarray) so a cross-process sharded factor (multi-host

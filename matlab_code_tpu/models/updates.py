@@ -10,10 +10,10 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from matlab_code_tpu.ops.tensor import mttkrp, gram, hadamard_grams
-from matlab_code_tpu.ops.linalg import chol_lower
 from matlab_code_tpu.problem import ProblemSpec, ProblemData, CP, PAR2
 
 
@@ -59,9 +59,21 @@ def cp_mode_precompute(spec: ProblemSpec, data: ProblemData, state, grams,
         A = w * mttkrp_impl(X, tuple(state.fac[j] for j in ds.modes))
         C = hadamard_grams([grams[j] for j in ds.modes if j != m])
     elif isinstance(X, SparseTensor):
-        A = w * mttkrp_sparse(X.indices, X.values,
-                              [state.fac[j] for j in ds.modes], local,
-                              spec.mode_sizes[m])
+        sm = options.sparse_mttkrp
+        use_pallas = (X.plans is not None and X.ndim == 3 and
+                      (sm == "pallas" or
+                       (sm == "auto" and
+                        jax.default_backend() == "tpu")))
+        if use_pallas:
+            from matlab_code_tpu.ops.sparse_pallas import mttkrp_sparse_pallas
+            A = w * mttkrp_sparse_pallas(
+                X.plans[local], tuple(state.fac[j] for j in ds.modes),
+                passes=options.sparse_pallas_passes,
+                interpret=jax.default_backend() != "tpu")
+        else:
+            A = w * mttkrp_sparse(X.indices, X.values,
+                                  [state.fac[j] for j in ds.modes], local,
+                                  spec.mode_sizes[m])
         C = hadamard_grams([grams[j] for j in ds.modes if j != m])
     elif X.ndim == 3 and local > 0 and partials is not None \
             and options.cp_dimension_tree and R <= X.shape[0]:
@@ -158,9 +170,11 @@ def par2B_precompute(spec: ProblemSpec, data: ProblemData, state, grams,
                      partials: dict | None = None):
     """Second PARAFAC2 mode (per-slice), batched (cmtf_fun_AOADMM.m:191-213).
 
-    Returns (A (K,Jmax,R), L (K,R,R) cholesky of the fully assembled normal
-    matrix incl. the always-on internal-coupling rho_k/2 I and, when the
+    Returns (A (K,Jmax,R), B (K,R,R) the fully assembled normal matrix
+    incl. the always-on internal-coupling rho_k/2 I and, when the
     constraint is active this outer iteration, another rho_k/2 I), rho (K,).
+    The caller factorizes/inverts B via make_spd_solver (batched Cholesky
+    is a slow sequential kernel on TPU; the newton mode never builds it).
     """
     ds = spec.datasets[p]
     X = data.objects[p]
@@ -185,8 +199,7 @@ def par2B_precompute(spec: ProblemSpec, data: ProblemData, state, grams,
         B = B + options.bsum_weight / 2.0 * eye
     if constraint_active:
         B = B + 0.5 * rho[:, None, None] * eye      # line 209-211
-    L = chol_lower(B)
-    return A, L, rho
+    return A, B, rho
 
 
 def par2C_precompute(spec: ProblemSpec, data: ProblemData, state, grams,

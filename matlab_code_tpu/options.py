@@ -69,17 +69,39 @@ class AlgOptions:
     # matrix ONCE per outer iteration (from the same Cholesky factor, so
     # the rcond ill-conditioning check is unchanged) and run each inner
     # iteration as one matmul — triangular solves are ~3x slower than the
-    # equivalent matmul on the TPU MXU.  Same solution to ~eps*cond.
-    # 'auto' = chol on CPU (bitwise reference parity), inverse on TPU.
+    # equivalent matmul on the TPU MXU; 'newton' = invert by Newton-
+    # Hotelling iteration (ops/linalg.spd_inverse_newton) — no Cholesky at
+    # all, which matters for K-BATCHED systems (PARAFAC2 Bk/C rows): a
+    # (512,32,32) batched Cholesky costs ~2.0 ms on v5e vs ~0.65 ms for the
+    # matmul-only inverse; ill-conditioning is screened by the inf-norm
+    # rcond estimate instead of the Cholesky diagonal.  All three give the
+    # same solution to ~eps*cond.  'auto' = chol on CPU (bitwise reference
+    # parity); on TPU, newton for batched systems and inverse for single.
     inner_solve: str = "auto"
+    # Sparse COO MTTKRP implementation: 'gather' = jnp gather + segment-sum
+    # (ops/tensor.mttkrp_sparse — random-access-bound on TPU, ~16 GB/s
+    # effective); 'pallas' = the one-hot-MXU kernel (ops/sparse_pallas.py,
+    # needs SparseTensor.plans — fit() attaches them automatically);
+    # 'auto' = pallas on TPU when plans are present, gather otherwise.
+    sparse_mttkrp: str = "auto"
+    # bf16 splits per one-hot matmul in the pallas sparse MTTKRP: 3 =
+    # f32-faithful (default), 2 ~ 1e-5 relative, 1 = fastest (~2e-3, the
+    # raw single-pass MXU feed).  See ops/sparse_pallas.py.
+    sparse_pallas_passes: int = 3
 
     def __post_init__(self):
         if self.par2_polar not in ("auto", "svd", "ns"):
             raise ValueError(f"par2_polar must be 'auto'|'svd'|'ns', "
                              f"got {self.par2_polar!r}")
-        if self.inner_solve not in ("auto", "chol", "inverse"):
-            raise ValueError(f"inner_solve must be 'auto'|'chol'|'inverse', "
-                             f"got {self.inner_solve!r}")
+        if self.inner_solve not in ("auto", "chol", "inverse", "newton"):
+            raise ValueError(f"inner_solve must be 'auto'|'chol'|'inverse'"
+                             f"|'newton', got {self.inner_solve!r}")
+        if self.sparse_mttkrp not in ("auto", "gather", "pallas"):
+            raise ValueError(f"sparse_mttkrp must be 'auto'|'gather'|"
+                             f"'pallas', got {self.sparse_mttkrp!r}")
+        if self.sparse_pallas_passes not in (1, 2, 3):
+            raise ValueError(f"sparse_pallas_passes must be 1, 2 or 3, "
+                             f"got {self.sparse_pallas_passes!r}")
         if self.Display not in ("iter", "final", "no"):
             raise ValueError(f"Display must be 'iter'|'final'|'no', "
                              f"got {self.Display!r}")

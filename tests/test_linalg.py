@@ -118,3 +118,43 @@ def test_lbfgsb_rosenbrock_box():
     res = lbfgsb(vag, jnp.zeros(4), -2.0, 2.0, m=8, maxiter=500,
                  pgtol=1e-10, factr=1.0)
     np.testing.assert_allclose(np.asarray(res.x), np.ones(4), atol=1e-4)
+
+
+def test_spd_inverse_newton():
+    """Matmul-only Newton-Hotelling inverse (the TPU batched-system path)
+    matches the Cholesky inverse; rcond estimate bounds the true rcond."""
+    # single matrix, with and without the eigenvalue lower bound
+    B = jnp.asarray(_spd(24))
+    ref = np.linalg.inv(np.asarray(B))
+    for lmin in (None, 24.0):
+        X, rcond = LA.spd_inverse_newton(B, lmin=lmin)
+        np.testing.assert_allclose(np.asarray(X), ref, rtol=5e-9, atol=5e-11)
+    lam = np.linalg.eigvalsh(np.asarray(B))
+    assert float(rcond) <= lam[0] / lam[-1] * 1.01
+    assert float(rcond) > 0
+
+    # K-batched with per-slice rho/2 bound (the PARAFAC2 Bk systems)
+    K, R = 32, 16
+    M = rng.standard_normal((K, R, R))
+    C = np.einsum("krs,krt->kst", M, M) / R
+    rho = np.trace(C, axis1=1, axis2=2) / R
+    Bb = jnp.asarray(C + 0.5 * rho[:, None, None] * np.eye(R))
+    Xb, rcondb = LA.spd_inverse_newton(Bb, lmin=jnp.asarray(0.5 * rho))
+    refb = np.linalg.inv(np.asarray(Bb))
+    np.testing.assert_allclose(np.asarray(Xb), refb, rtol=5e-8, atol=5e-10)
+    assert rcondb.shape == (K,)
+
+
+def test_polar_orth_ns_adaptive_zero_slice():
+    """The adaptive NS polar exits early, keeps orthogonality to high
+    accuracy, and maps an all-zero slice to zero (ragged padding)."""
+    K, J, R = 5, 20, 4
+    M = rng.standard_normal((K, J, R))
+    M[3] = 0.0
+    P = np.asarray(LA.polar_orth_ns(jnp.asarray(M), iters=40))
+    ref = np.asarray(LA.polar_orth(jnp.asarray(M[:3])))
+    np.testing.assert_allclose(P[:3], ref, rtol=1e-8, atol=1e-9)
+    assert np.all(P[3] == 0)
+    G = np.einsum("kjr,kjs->krs", P[[0, 1, 2, 4]], P[[0, 1, 2, 4]])
+    np.testing.assert_allclose(G, np.broadcast_to(np.eye(R), G.shape),
+                               atol=1e-10)

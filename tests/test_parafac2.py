@@ -315,3 +315,37 @@ def test_inner_solve_inverse_matches_chol():
     np.testing.assert_allclose(res_i["out"].func_coupl_conv,
                                res_c["out"].func_coupl_conv,
                                rtol=1e-7, atol=1e-10)
+
+
+def test_inner_solve_newton_matches_chol():
+    """inner_solve='newton' (matmul-only Newton-Hotelling inverse of the
+    K-batched normal matrices; TPU default for batched systems) reproduces
+    the 'chol' fit across CP + PAR2 + coupling."""
+    import dataclasses
+    K, J, I0 = 6, 12, 8
+    spec = ProblemSpec(
+        mode_sizes=(I0, 10, 14, I0, (J,) * K, K),
+        datasets=(DatasetSpec(model="CP", modes=(0, 1, 2), rank=3,
+                              weight=0.5),
+                  DatasetSpec(model="PAR2", modes=(3, 4, 5), rank=3,
+                              weight=0.5)),
+        coupling=CouplingSpec(lin_coupled_modes=(1, 0, 0, 1, 0, 0),
+                              coupling_type=(0,)),
+        constraints=(ConstraintSpec("non-negativity"), None, None,
+                     ConstraintSpec("non-negativity"),
+                     ConstraintSpec("non-negativity"),
+                     ConstraintSpec("non-negativity")))
+    opts = AlgOptions(MaxOuterIters=50, AbsFuncTol=0.0, OuterRelTol=0.0)
+    res_c = run_problem(spec, lambdas=[[1] * 3] * 2,
+                        distr=["rand", "randn", "randn", "rand", "rand",
+                               "rand+0.1"], opts=opts, key=1)
+    opts_n = dataclasses.replace(opts, inner_solve="newton")
+    res_n = run_problem(spec, lambdas=[[1] * 3] * 2,
+                        distr=["rand", "randn", "randn", "rand", "rand",
+                               "rand+0.1"], opts=opts_n, key=1)
+    np.testing.assert_allclose(res_n["out"].func_val_conv,
+                               res_c["out"].func_val_conv,
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(res_n["out"].func_coupl_conv,
+                               res_c["out"].func_coupl_conv,
+                               rtol=1e-7, atol=1e-10)
