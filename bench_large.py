@@ -124,11 +124,13 @@ def kl_problem(I=128, J=256, K=256, R=8):
     return spec, data, state, opts
 
 
-def sparse_problem(D=2048, NNZ=10_000_000, R=16):
+def sparse_problem(D=2048, NNZ=10_000_000, R=16, pallas=True):
     """Sparse COO CP (the reference's sptensor path): 1e7 nonzeros of a
     2048^3 tensor.  The gather/segment-sum MTTKRP is random-access-bound on
     TPU (~16 GB/s effective gather bandwidth; docs/ROOFLINE.md) — per-mode
-    sorted copies and ELL padding were measured and do NOT help."""
+    sorted copies and ELL padding were measured and do NOT help; the
+    one-hot-MXU Pallas kernel (ops/sparse_pallas.py) does, and `pallas=True`
+    attaches its plans (sparse_mttkrp='auto' then uses it on TPU)."""
     from matlab_code_tpu.problem import ProblemData, SparseTensor
     spec = ProblemSpec(
         mode_sizes=(D, D, D),
@@ -141,6 +143,8 @@ def sparse_problem(D=2048, NNZ=10_000_000, R=16):
                     axis=0)
     st = SparseTensor(jnp.asarray(idx),
                       jnp.asarray(rng.uniform(size=len(idx)).astype(dt)))
+    if pallas:
+        st = SparseTensor(st.indices, st.values).with_plans((D, D, D))
     data = ProblemData(objects=(st,), coupl_trafo=(None,) * 3,
                        coupl_trafo2=(None,) * 3)
     opts = AlgOptions(MaxOuterIters=10, MaxInnerIters=5)
@@ -210,12 +214,18 @@ def main():
     print(json.dumps({"metric": "aoadmm_iters_per_s_kl_lbfgsb",
                       "value": round(it_s, 2), "unit": "outer_iters/s",
                       "vs_baseline": None}))
-    spec, data, state, opts = sparse_problem()
-    it_s = run_iters(spec, data, state, opts, 20)   # ~0.4 s/iter >> floor
+    spec, data, state, opts = sparse_problem()      # pallas one-hot-MXU path
+    it_s = run_iters(spec, data, state, opts, 40)
     nnz = np.asarray(data.objects[0].values).size
-    print(f"# sparse workload: {nnz/1e6:.1f}M nnz of 2048^3, rank 16")
+    print(f"# sparse workload: {nnz/1e6:.1f}M nnz of 2048^3, rank 16 "
+          f"(pallas one-hot-MXU MTTKRP)")
     print(json.dumps({"metric": "aoadmm_iters_per_s_sparse_10Mnnz",
                       "value": round(it_s, 2), "unit": "outer_iters/s",
+                      "vs_baseline": None}))
+    spec, data, state, opts = sparse_problem(pallas=False)
+    it_g = run_iters(spec, data, state, opts, 20)   # ~0.3 s/iter >> floor
+    print(json.dumps({"metric": "aoadmm_iters_per_s_sparse_10Mnnz_gather",
+                      "value": round(it_g, 2), "unit": "outer_iters/s",
                       "vs_baseline": None}))
     tot, fits = multistart_throughput(iters=100)
     print(json.dumps({"metric": "multistart_sweeps_per_s",
