@@ -8,6 +8,7 @@ the model tensor exactly like the reference.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from matlab_code_tpu.ops.tensor import ktensor_full, mttkrp, gram, hadamard_grams
@@ -65,8 +66,15 @@ def func_eval(spec: ProblemSpec, data: ProblemData, state, grams,
                     from matlab_code_tpu.ops.tensor import mttkrp_sparse
                     facs = [state.fac[j] for j in ds.modes]
                     if isinstance(X, SparseTensor):
-                        mk = mttkrp_sparse(X.indices, X.values, facs, 0,
-                                           facs[0].shape[0])
+                        if X.plans is not None and X.ndim == 3:
+                            from matlab_code_tpu.ops.sparse_pallas import (
+                                mttkrp_sparse_pallas)
+                            mk = mttkrp_sparse_pallas(
+                                X.plans[0], tuple(facs),
+                                interpret=jax.default_backend() != "tpu")
+                        else:
+                            mk = mttkrp_sparse(X.indices, X.values, facs, 0,
+                                               facs[0].shape[0])
                     else:
                         mk = mttkrp(X, facs, 0)
                     f2 = jnp.sum(mk * facs[0])
