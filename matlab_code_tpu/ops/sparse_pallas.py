@@ -173,7 +173,16 @@ def _kernel(btile_ref, ctile_ref, rs_ref, packed_ref, vals_ref,
     scat = jnp.zeros_like(o_ref[pl.ds(0, TILE), :])
     rem = contrib
     for s in range(S - 1):
-        part = rem.astype(jnp.bfloat16).astype(acc)
+        # split off the top 16 bits (= exactly bf16-representable, fed to
+        # the MXU without rounding).  NB a bf16 cast round-trip gets
+        # canonicalized away by Mosaic (measured: the scatter then runs as
+        # one bf16-fed dot, ~2e-3 error); the bitmask form survives.
+        if acc == jnp.float32:
+            part = lax.bitcast_convert_type(
+                lax.bitcast_convert_type(rem, jnp.uint32)
+                & jnp.uint32(0xFFFF0000), acc)
+        else:
+            part = rem.astype(jnp.bfloat16).astype(acc)
         rem = rem - part
         scat = scat + jnp.dot(oh_iT, part, preferred_element_type=acc)
     scat = scat + jnp.dot(oh_iT, rem, preferred_element_type=acc)
@@ -191,7 +200,14 @@ def _split_tiles(F, passes, acc):
     parts = []
     rem = F
     for _ in range(passes - 1):
-        p = rem.astype(jnp.bfloat16).astype(acc)
+        if acc == jnp.float32:
+            # top-16-bit truncation: exactly bf16-representable and immune
+            # to convert-roundtrip canonicalization (see _kernel)
+            p = lax.bitcast_convert_type(
+                lax.bitcast_convert_type(rem, jnp.uint32)
+                & jnp.uint32(0xFFFF0000), acc)
+        else:
+            p = rem.astype(jnp.bfloat16).astype(acc)
         parts.append(p)
         rem = rem - p
     parts.append(rem)
