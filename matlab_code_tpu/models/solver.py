@@ -702,11 +702,14 @@ def fit(spec: ProblemSpec, data: ProblemData, state: SolverState,
     mesh: optional jax.sharding.Mesh — route every shardable >=3-way CP
     MTTKRP through the explicit shard_map collective path (psum of partial
     MTTKRPs over the mesh axis, parallel/shard_mttkrp.py) instead of letting
-    XLA derive the partitioning from input shardings."""
+    XLA derive the partitioning from input shardings.  SparseTensor datasets
+    go through the nnz-partitioned gather + psum path (the Pallas plan is a
+    single-device layout, so plan attachment is skipped under a mesh)."""
     if validate:
         check_data_input(spec, data)
         _warn_loss_data(spec, data)
-    data = attach_sparse_plans(spec, data, options)
+    if mesh is None:
+        data = attach_sparse_plans(spec, data, options)
     miss_flag = has_missing(data)
     znorms = compute_znorm_consts(spec, data, options)
     # .dtype (not np.asarray) so a cross-process sharded factor (multi-host

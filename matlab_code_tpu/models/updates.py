@@ -54,8 +54,10 @@ def cp_mode_precompute(spec: ProblemSpec, data: ProblemData, state, grams,
     w = ds.weight
     R = ds.rank
     local = ds.modes.index(m)
-    if mttkrp_impl is not None and not isinstance(X, SparseTensor) \
-            and X.ndim >= 3:
+    if mttkrp_impl is not None and (isinstance(X, SparseTensor)
+                                    or X.ndim >= 3):
+        # explicit shard_map collective (dense mode-partitioned or sparse
+        # nnz-partitioned, parallel/shard_mttkrp.py)
         A = w * mttkrp_impl(X, tuple(state.fac[j] for j in ds.modes))
         C = hadamard_grams([grams[j] for j in ds.modes if j != m])
     elif isinstance(X, SparseTensor):

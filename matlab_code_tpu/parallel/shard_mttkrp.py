@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from matlab_code_tpu.ops.tensor import mttkrp
+from matlab_code_tpu.ops.tensor import mttkrp, mttkrp_sparse
 
 
 def make_sharded_mttkrp(mesh: Mesh, axis: str, ndim: int, shard_dim: int,
@@ -46,6 +46,56 @@ def make_sharded_mttkrp(mesh: Mesh, axis: str, ndim: int, shard_dim: int,
     return f
 
 
+def make_sharded_mttkrp_sparse(mesh: Mesh, axis: str, target_mode: int,
+                               out_dim: int):
+    """SPMD MTTKRP for a COO SparseTensor partitioned along the NONZERO axis
+    (each device holds nnz/n entries; factor matrices replicated).
+
+    Every shard computes a full-size (D_mode, R) partial via local
+    gather + segment-sum (ops/tensor.mttkrp_sparse — the sptensor mttkrp of
+    cmtf_fun_AOADMM.m:97) and the partials are psum-reduced over ICI: the
+    sparse analogue of the dense mode-partitioned layout (SURVEY.md §2.3).
+    nnz padding (zero values at index 0) contributes exactly zero.
+    """
+    def make(nfac):
+        specs = (P(axis, None), P(axis)) + tuple(
+            P(None, None) for _ in range(nfac))
+
+        @partial(shard_map, mesh=mesh, in_specs=specs,
+                 out_specs=P(None, None), check_vma=False)
+        def g(idx_shard, val_shard, *factors):
+            local = mttkrp_sparse(idx_shard, val_shard, list(factors),
+                                  target_mode, out_dim)
+            return jax.lax.psum(local, axis)
+
+        return g
+
+    cache = {}
+
+    def fn(X, factors):
+        n = len(factors)
+        if n not in cache:
+            cache[n] = make(n)
+        return cache[n](X.indices, X.values, *factors)
+
+    return fn
+
+
+def pad_sparse_nnz(X, n: int):
+    """Pad a SparseTensor's nnz axis to a multiple of n with zero-valued
+    entries at index 0 (exactly neutral for MTTKRP and the objective)."""
+    import numpy as np
+    from matlab_code_tpu.problem import SparseTensor
+    nnz = X.indices.shape[0]
+    pad = (-nnz) % n
+    if pad == 0:
+        return X
+    idx = jnp.concatenate(
+        [X.indices, jnp.zeros((pad, X.indices.shape[1]), X.indices.dtype)])
+    val = jnp.concatenate([X.values, jnp.zeros((pad,), X.values.dtype)])
+    return SparseTensor(idx, val, X.plans)
+
+
 def build_sharded_mttkrps(spec, data, mesh, axis=None):
     """Explicit-collective MTTKRP implementations for every >=3-way CP
     dataset whose longest mesh-divisible mode can be sharded.
@@ -56,7 +106,7 @@ def build_sharded_mttkrps(spec, data, mesh, axis=None):
     (I_m, R) matrix per mode update) pinned by hand instead of derived by
     XLA from sharding annotations.
     """
-    from matlab_code_tpu.problem import CP
+    from matlab_code_tpu.problem import CP, SparseTensor
     from matlab_code_tpu.parallel.sharding import (
         choose_cp_shard_mode, DATA_AXIS)
     axis = axis or DATA_AXIS
@@ -66,6 +116,16 @@ def build_sharded_mttkrps(spec, data, mesh, axis=None):
         if ds.model != CP:
             continue
         X = data.objects[p]
+        if isinstance(X, SparseTensor):
+            # nnz-partitioned COO: one psum of the (D_mode, R) partial per
+            # mode update; requires nnz % n == 0 (pad_sparse_nnz)
+            if X.indices.shape[0] % n != 0:
+                continue
+            for target in range(X.ndim):
+                impls[(p, target)] = make_sharded_mttkrp_sparse(
+                    mesh, axis, target,
+                    spec.mode_sizes[ds.modes[target]])
+            continue
         if getattr(X, "ndim", 0) < 3:
             continue
         local = choose_cp_shard_mode(spec, p, n)

@@ -65,8 +65,25 @@ def data_shardings(spec: ProblemSpec, data: ProblemData, mesh: Mesh):
     n = mesh.devices.size
     objects = []
     sharded_modes = {}  # global mode id -> sharded (for state layout)
+    from matlab_code_tpu.problem import SparseTensor
     for p, ds in enumerate(spec.datasets):
-        if ds.model == CP:
+        if ds.model == CP and isinstance(data.objects[p], SparseTensor):
+            X = data.objects[p]
+            if X.indices.shape[0] % n == 0:
+                # nnz-partitioned COO stream; factors stay replicated, so no
+                # mode becomes row-sharded.  Pallas plans (if any) are
+                # pattern-global and replicated.
+                objects.append(SparseTensor(
+                    indices=_shard_axis(mesh, 2, 0),
+                    values=NamedSharding(mesh, P(DATA_AXIS)),
+                    plans=(None if X.plans is None else
+                           jax.tree.map(lambda _: _rep(mesh), X.plans))))
+            else:
+                objects.append(SparseTensor(
+                    indices=_rep(mesh), values=_rep(mesh),
+                    plans=(None if X.plans is None else
+                           jax.tree.map(lambda _: _rep(mesh), X.plans))))
+        elif ds.model == CP:
             local = choose_cp_shard_mode(spec, p, n)
             if local is None:
                 objects.append(_rep(mesh))

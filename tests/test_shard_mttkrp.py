@@ -30,6 +30,87 @@ def test_sharded_mttkrp_psum_and_gather():
         np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
 
 
+def test_sharded_mttkrp_sparse_matches_gather():
+    """nnz-partitioned COO MTTKRP (psum of per-shard partials) equals the
+    single-device gather/segment-sum for every target mode."""
+    from matlab_code_tpu.problem import SparseTensor
+    from matlab_code_tpu.parallel.shard_mttkrp import (
+        make_sharded_mttkrp_sparse, pad_sparse_nnz)
+    from matlab_code_tpu.ops.tensor import mttkrp_sparse
+
+    n = 8
+    mesh = make_mesh(n)
+    shape = (16, 24, 10)
+    X = rng.standard_normal(shape)
+    X[rng.uniform(size=shape) < 0.7] = 0.0
+    st = pad_sparse_nnz(SparseTensor.from_dense(X), n)
+    assert st.indices.shape[0] % n == 0
+    facs = tuple(jnp.asarray(rng.standard_normal((s, 3))) for s in shape)
+    idx_sh = jax.device_put(st.indices,
+                            NamedSharding(mesh, P(DATA_AXIS, None)))
+    val_sh = jax.device_put(st.values, NamedSharding(mesh, P(DATA_AXIS)))
+    st_sh = SparseTensor(idx_sh, val_sh)
+    for target in range(3):
+        f = make_sharded_mttkrp_sparse(mesh, DATA_AXIS, target, shape[target])
+        got = np.asarray(f(st_sh, facs))
+        want = np.asarray(mttkrp_sparse(st.indices, st.values, list(facs),
+                                        target, shape[target]))
+        np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
+def test_fit_mesh_sparse_matches_plain():
+    """fit(mesh=) on an nnz-sharded SparseTensor dataset reproduces the plain
+    sparse fit's trajectory and factors (sparse analogue of the dense
+    shard_map test below)."""
+    import dataclasses
+    from matlab_code_tpu import (
+        ProblemSpec, DatasetSpec, CouplingSpec, ConstraintSpec, AlgOptions,
+        InitOptions)
+    from matlab_code_tpu.problem import SparseTensor
+    from matlab_code_tpu.models.init import init_coupled
+    from matlab_code_tpu.models.solver import fit
+    from matlab_code_tpu.utils.datagen import create_coupled_data, \
+        normalize_data
+    from matlab_code_tpu.parallel.sharding import data_shardings, \
+        state_shardings
+    from matlab_code_tpu.parallel.shard_mttkrp import pad_sparse_nnz
+
+    spec = ProblemSpec(
+        mode_sizes=(12, 11, 10),
+        datasets=(DatasetSpec(model="CP", modes=(0, 1, 2), rank=2),),
+        coupling=CouplingSpec(lin_coupled_modes=(0, 0, 0), coupling_type=()),
+        constraints=(ConstraintSpec("non-negativity"), None, None))
+    data, _, _, _ = create_coupled_data(
+        spec, lambdas=[[1, 1]], noise=0.0, distr=["rand", "randn", "randn"],
+        rng=7)
+    data, _ = normalize_data(spec, data)
+    Xd = np.array(data.objects[0])
+    Xd[rng.uniform(size=Xd.shape) < 0.5] = 0.0
+    n = 8
+    sp_data = dataclasses.replace(
+        data, objects=(pad_sparse_nnz(SparseTensor.from_dense(Xd), n),))
+    init = InitOptions(distr=("rand", "randn", "randn"), normalize=True,
+                       lambdas_init=((1, 1),))
+    state0 = init_coupled(spec, sp_data, init, key=3)
+    opts = AlgOptions(MaxOuterIters=20, AbsFuncTol=0.0, OuterRelTol=0.0)
+
+    st_ref, out_ref = fit(spec, sp_data, state0, opts)
+
+    mesh = make_mesh(n)
+    data_sh, sharded_modes = data_shardings(spec, sp_data, mesh)
+    st_sh, out_sh = fit(spec, jax.device_put(sp_data, data_sh),
+                        jax.device_put(state0,
+                                       state_shardings(spec, state0, mesh,
+                                                       sharded_modes)),
+                        opts, mesh=mesh)
+    np.testing.assert_allclose(out_sh.func_val_conv, out_ref.func_val_conv,
+                               rtol=1e-11, atol=1e-13)
+    for m in range(spec.nb_modes):
+        np.testing.assert_allclose(np.asarray(st_sh.fac[m]),
+                                   np.asarray(st_ref.fac[m]),
+                                   rtol=1e-9, atol=1e-11)
+
+
 def test_fit_with_explicit_shard_map_matches_plain():
     """fit(..., mesh=mesh) routes CP MTTKRPs through the explicit shard_map
     collectives and reproduces the plain fit's trajectory and factors."""
