@@ -115,3 +115,25 @@ def test_plan_value_order_roundtrip():
                                                       rel=1e-10)
     nnz_slots = int(jnp.sum(plan.vals != 0.0))
     assert nnz_slots == int((val != 0).sum())
+
+
+def test_native_plan_matches_python():
+    """The C++ plan builder (native.sparse_plan, the production path)
+    reproduces the numpy golden builder EXACTLY — same blocks, packed codes,
+    value order, and metadata — for every target mode, including duplicate
+    coordinates (stable-sort tie order matters)."""
+    pytest.importorskip("native")
+    shape = (300, 1000, 517)
+    idx, val = _random_coo(shape, 60_000)
+    # inject duplicates to exercise stable tie ordering
+    idx = np.concatenate([idx, idx[:500]], axis=0)
+    val = np.concatenate([val, rng.standard_normal(500)])
+    for mode in range(3):
+        a = sp.build_plan_mode(idx, val, shape, mode, use_native=True)
+        b = sp.build_plan_mode(idx, val, shape, mode, use_native=False)
+        for f in ("packed", "vals", "btile", "ctile", "rowstart"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(a, f)), np.asarray(getattr(b, f)),
+                err_msg=f"mode {mode} field {f}")
+        assert (a.block, a.dpad, a.gather_modes, a.out_mode) == \
+               (b.block, b.dpad, b.gather_modes, b.out_mode)
