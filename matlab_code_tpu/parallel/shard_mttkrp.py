@@ -84,7 +84,6 @@ def make_sharded_mttkrp_sparse(mesh: Mesh, axis: str, target_mode: int,
 def pad_sparse_nnz(X, n: int):
     """Pad a SparseTensor's nnz axis to a multiple of n with zero-valued
     entries at index 0 (exactly neutral for MTTKRP and the objective)."""
-    import numpy as np
     from matlab_code_tpu.problem import SparseTensor
     nnz = X.indices.shape[0]
     pad = (-nnz) % n
