@@ -166,6 +166,24 @@ def _run_config(name):
             return dataclasses.replace(
                 data, objects=(jnp.asarray(np.where(mask, X0, 0.0)),),
                 miss=(jnp.asarray(mask),))
+    elif name == "cp_sparse":
+        # sparse COO dataset through the gather/segment-sum dispatch path
+        spec = ProblemSpec(
+            mode_sizes=(12, 13, 14),
+            datasets=(DatasetSpec(model="CP", modes=(0, 1, 2), rank=2),),
+            coupling=CouplingSpec(lin_coupled_modes=(0, 0, 0),
+                                  coupling_type=()),
+            constraints=(ConstraintSpec("non-negativity"), None, None))
+        distr = ["rand", "randn", "randn"]
+        noise = 0.0
+
+        def post_data(data):
+            from matlab_code_tpu.problem import SparseTensor
+            rng = np.random.default_rng(2)
+            X0 = np.array(data.objects[0])
+            X0[rng.uniform(size=X0.shape) < 0.5] = 0.0
+            return dataclasses.replace(
+                data, objects=(SparseTensor.from_dense(X0),))
     elif name == "tpar2":
         # script-11 style temporal smoothness (joint block-tridiag prox)
         spec = ProblemSpec(
@@ -201,7 +219,7 @@ def _run_config(name):
 @pytest.mark.parametrize("name", [
     "cp_nonneg_coupled", "par2_nonneg", "cp_tv",
     "coupled_type1", "coupled_type2", "coupled_type3", "coupled_type4",
-    "coupled_type5", "cp_kl", "cp_em_missing", "tpar2"])
+    "coupled_type5", "cp_kl", "cp_em_missing", "tpar2", "cp_sparse"])
 def test_golden_trajectory(name):
     traj = _run_config(name)
     path = os.path.join(GOLDEN_DIR, f"{name}.npz")
