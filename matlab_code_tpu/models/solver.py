@@ -821,21 +821,34 @@ def fit(spec: ProblemSpec, data: ProblemData, state: SolverState,
 
 def cmtf_aoadmm(spec: ProblemSpec, data: ProblemData, options: AlgOptions,
                 init: SolverState | None = None, init_options=None,
-                key=None, validate: bool = True):
+                key=None, validate: bool = True, mesh=None):
     """High-level driver (functions/cmtf_AOADMM.m): initializes if needed,
     fits, and assembles per-dataset factor estimates.
+
+    mesh: optional jax.sharding.Mesh, forwarded to fit() — data/state are
+    laid out with parallel/sharding.py's shardings and MTTKRPs run through
+    the explicit shard_map collectives (parallel/shard_mttkrp.py).
 
     Returns (Zhat, state, init_state, out) where Zhat[p] is
       {'weights': None, 'factors': [...]}           for CP datasets,
       {'A': ..., 'Bk': [...], 'C': ...}             for PAR2 datasets.
     """
+    import jax
     from matlab_code_tpu.models.init import init_coupled
     if init is None:
         if init_options is None:
             raise ValueError("init_options are missing in cmtf_aoadmm")
         init = init_coupled(spec, data, init_options, key=key)
     state0 = init
-    state, out = fit(spec, data, state0, options, validate=validate)
+    if mesh is not None:
+        from matlab_code_tpu.parallel.sharding import (
+            data_shardings, state_shardings)
+        data_sh, sharded_modes = data_shardings(spec, data, mesh)
+        data = jax.device_put(data, data_sh)
+        state0 = jax.device_put(
+            state0, state_shardings(spec, state0, mesh, sharded_modes))
+    state, out = fit(spec, data, state0, options, validate=validate,
+                     mesh=mesh)
     return assemble_zhat(spec, state), state, state0, out
 
 

@@ -157,3 +157,37 @@ def test_fit_with_explicit_shard_map_matches_plain():
         np.testing.assert_allclose(np.asarray(st_sh.fac[m]),
                                    np.asarray(st_ref.fac[m]),
                                    rtol=1e-9, atol=1e-11)
+
+
+def test_cmtf_aoadmm_mesh_kwarg():
+    """The public driver's mesh= forwards through fit() with the framework's
+    shardings applied automatically (no manual device_put needed)."""
+    from matlab_code_tpu import (
+        ProblemSpec, DatasetSpec, CouplingSpec, ConstraintSpec, AlgOptions,
+        InitOptions, cmtf_aoadmm)
+    from matlab_code_tpu.utils.datagen import create_coupled_data, \
+        normalize_data
+
+    spec = ProblemSpec(
+        mode_sizes=(16, 12, 10),
+        datasets=(DatasetSpec(model="CP", modes=(0, 1, 2), rank=2),),
+        coupling=CouplingSpec(lin_coupled_modes=(0, 0, 0), coupling_type=()),
+        constraints=(ConstraintSpec("non-negativity"), None, None))
+    data, _, _, _ = create_coupled_data(
+        spec, lambdas=[[1, 1]], noise=0.02, distr=["rand", "randn", "randn"],
+        rng=4)
+    data, _ = normalize_data(spec, data)
+    init = InitOptions(distr=("rand", "randn", "randn"), normalize=True,
+                       lambdas_init=((1, 1),))
+    opts = AlgOptions(MaxOuterIters=15, AbsFuncTol=0.0, OuterRelTol=0.0)
+    _, st_ref, _, out_ref = cmtf_aoadmm(spec, data, opts,
+                                        init_options=init, key=5)
+    mesh = make_mesh(8)
+    _, st_sh, _, out_sh = cmtf_aoadmm(spec, data, opts, init_options=init,
+                                      key=5, mesh=mesh)
+    np.testing.assert_allclose(out_sh.func_val_conv, out_ref.func_val_conv,
+                               rtol=1e-11, atol=1e-13)
+    for m in range(spec.nb_modes):
+        np.testing.assert_allclose(np.asarray(st_sh.fac[m]),
+                                   np.asarray(st_ref.fac[m]),
+                                   rtol=1e-9, atol=1e-11)
