@@ -109,9 +109,15 @@ def compute_znorm_consts(spec: ProblemSpec, data: ProblemData,
 
 
 def make_outer_step(spec: ProblemSpec, options: AlgOptions, proxes, reg_fns,
-                    bk_constraint_active: bool, mttkrp_impls=None):
+                    bk_constraint_active: bool, mttkrp_impls=None,
+                    pp_datasets=()):
     """mttkrp_impls: optional {(p, local_mode): fn} explicit-collective
-    MTTKRPs (parallel/shard_mttkrp.py build_sharded_mttkrps)."""
+    MTTKRPs (parallel/shard_mttkrp.py build_sharded_mttkrps).
+
+    pp_datasets: datasets whose MTTKRPs go through the pairwise-perturbation
+    approximation (models/pairwise.py, options.cp_pairwise_perturbation).
+    When non-empty, outer_step takes a `pp` cache pytree as a sixth argument
+    and returns it (updated) as a ninth output."""
     lbfgs_steps = {}
     for p, ds in enumerate(spec.datasets):
         if ds.loss != "Frobenius":
@@ -119,9 +125,21 @@ def make_outer_step(spec: ProblemSpec, options: AlgOptions, proxes, reg_fns,
                 lbfgs_steps[m] = make_lbfgs_step(spec, p, m, options)
     adaptive = options.adaptive_rho_nonfrob and spec.has_non_frobenius()
 
-    def outer_step(state, data, grams, colnorms, rho_scale=None):
+    def outer_step(state, data, grams, colnorms, rho_scale=None, pp=None):
         """Returns (state, grams, colnorms, rho_scale, cached, inner_its,
-        lbfgs_its, illcond)."""
+        lbfgs_its, illcond[, pp])."""
+        impls = mttkrp_impls
+        if pp_datasets and pp is not None:
+            from matlab_code_tpu.models.pairwise import (
+                pp_sweep_update, pp_mttkrp)
+            pp = {p: pp_sweep_update(spec, data, state, p, pp[p], options)
+                  for p in pp_datasets}
+            impls = dict(mttkrp_impls) if mttkrp_impls else {}
+            for p in pp_datasets:
+                for local in range(3):
+                    impls[(p, local)] = (
+                        lambda X, facs, p=p, local=local: pp_mttkrp(
+                            spec, X, facs, p, pp[p], local, options))
         inner_its: dict[int, Any] = {}
         lbfgs_its: dict[int, Any] = {}
         cached: dict[int, Any] = {}
@@ -170,7 +188,7 @@ def make_outer_step(spec: ProblemSpec, options: AlgOptions, proxes, reg_fns,
                     R = ds.rank
                     if role == "cp":
                         if frob:
-                            impl = (mttkrp_impls or {}).get(
+                            impl = (impls or {}).get(
                                 (p, ds.modes.index(m)))
                             pre = cp_mode_precompute(spec, data, state, grams,
                                                      p, m, options, partials,
@@ -361,6 +379,9 @@ def make_outer_step(spec: ProblemSpec, options: AlgOptions, proxes, reg_fns,
                         colnorms = colnorms.at[m].set(
                             refresh_colnorm_update(state, m))
 
+        if pp is not None:
+            return (state, grams, colnorms, rho_scale, cached, inner_its,
+                    lbfgs_its, illc, pp)
         return (state, grams, colnorms, rho_scale, cached, inner_its,
                 lbfgs_its, illc)
 
@@ -445,24 +466,31 @@ def _get_phase_runner(spec: ProblemSpec, options: AlgOptions,
         from matlab_code_tpu.parallel.shard_mttkrp import \
             build_sharded_mttkrps
         impls = build_sharded_mttkrps(spec, data, mesh)
+    from matlab_code_tpu.models.pairwise import eligible_pp_datasets
+    pp_datasets = eligible_pp_datasets(spec, data, options, mesh)
     outer_step = make_outer_step(spec, options, proxes, reg_fns, bk_active,
-                                 mttkrp_impls=impls)
+                                 mttkrp_impls=impls, pp_datasets=pp_datasets)
     nb_modes = spec.nb_modes
 
     def run(state, data, znorms, hist, f4, frm, it0, last_it, grams,
-            colnorms, rho_scale):
+            colnorms, rho_scale, pp):
 
         def cond(c):
             (state, data, grams, colnorms, rho_scale, f4, frm, hist, it,
-             stop, illc) = c
+             stop, illc, pp) = c
             return (it <= last_it) & (~stop)
 
         def body(c):
             (state, data, grams, colnorms, rho_scale, f4, frm, hist, it,
-             stop, illc) = c
-            (state, grams, colnorms, rho_scale, cached, inner_its,
-             lbfgs_its, illc_new) = outer_step(
-                state, data, grams, colnorms, rho_scale)
+             stop, illc, pp) = c
+            if pp_datasets:
+                (state, grams, colnorms, rho_scale, cached, inner_its,
+                 lbfgs_its, illc_new, pp) = outer_step(
+                    state, data, grams, colnorms, rho_scale, pp)
+            else:
+                (state, grams, colnorms, rho_scale, cached, inner_its,
+                 lbfgs_its, illc_new) = outer_step(
+                    state, data, grams, colnorms, rho_scale)
             if miss_flag:
                 data, frm = em_impute(spec, data, state)
             f4_new = func_eval(spec, data, state, grams, znorms, reg_fns,
@@ -506,14 +534,14 @@ def _get_phase_runner(spec: ProblemSpec, options: AlgOptions,
                          (it, f_total, f4_new[0], f4_new[1], f4_new[2],
                           f4_new[3]))
             return (state, data, grams, colnorms, rho_scale, f4_new, frm,
-                    hist, it + 1, stop_new, illc)
+                    hist, it + 1, stop_new, illc, pp)
 
         carry = (state, data, grams, colnorms, rho_scale, f4, frm, hist, it0,
-                 jnp.bool_(False), jnp.bool_(False))
+                 jnp.bool_(False), jnp.bool_(False), pp)
         (state, data, grams, colnorms, rho_scale, f4, frm, hist, it, stop,
-         illc) = lax.while_loop(cond, body, carry)
+         illc, pp) = lax.while_loop(cond, body, carry)
         return (state, data, f4, frm, hist, it, stop, illc, grams, colnorms,
-                rho_scale)
+                rho_scale, pp)
 
     fn = jax.jit(run)
     _RUNNER_CACHE[key] = fn
@@ -609,13 +637,22 @@ def fit_stepwise(spec: ProblemSpec, data: ProblemData, state: SolverState,
     proxes, reg_fns = build_proxes(spec)
 
     bk = _has_bk_constraint(spec)
+    from matlab_code_tpu.models.pairwise import (
+        eligible_pp_datasets, pp_init)
+    pp_ds = eligible_pp_datasets(spec, data, options)
     steps = {}
     for active in ({False, True} if bk else {True}):
-        step = make_outer_step(spec, options, proxes, reg_fns, active)
+        step = make_outer_step(spec, options, proxes, reg_fns, active,
+                               pp_datasets=pp_ds)
 
-        def one(state, data, grams, colnorms, rho_scale, step=step):
-            (state, grams, colnorms, rho_scale, cached, inner, lb,
-             illc) = step(state, data, grams, colnorms, rho_scale)
+        def one(state, data, grams, colnorms, rho_scale, pp, step=step):
+            if pp_ds:
+                (state, grams, colnorms, rho_scale, cached, inner, lb,
+                 illc, pp) = step(state, data, grams, colnorms, rho_scale,
+                                  pp)
+            else:
+                (state, grams, colnorms, rho_scale, cached, inner, lb,
+                 illc) = step(state, data, grams, colnorms, rho_scale)
             if miss_flag:
                 data, frm = em_impute(spec, data, state)
             else:
@@ -629,11 +666,12 @@ def fit_stepwise(spec: ProblemSpec, data: ProblemData, state: SolverState,
             for mm, v in lb.items():
                 lb_col = lb_col.at[mm].set(v)
             return (state, data, grams, colnorms, rho_scale, f4, frm,
-                    inner_col, lb_col, illc)
+                    inner_col, lb_col, illc, pp)
 
         steps[active] = jax.jit(one)
 
     grams, colnorms = init_cache(spec, state)
+    pp = pp_init(spec, data, state, pp_ds)
     rho_scale = jnp.ones((spec.nb_modes,),
                          np.asarray(state.fac[0]).dtype)
     illc = False
@@ -650,8 +688,8 @@ def fit_stepwise(spec: ProblemSpec, data: ProblemData, state: SolverState,
     while it <= options.MaxOuterIters and not stop:
         active = (not bk) or it >= max(options.iter_start_PAR2Bkconstraint, 0)
         (state, data, grams, colnorms, rho_scale, f4_new, frm_t, inner_col,
-         lb_col, illc_t) = steps[active](state, data, grams, colnorms,
-                                         rho_scale)
+         lb_col, illc_t, pp) = steps[active](state, data, grams, colnorms,
+                                             rho_scale, pp)
         inner_hist.append(np.asarray(inner_col))
         lb_hist.append(np.asarray(lb_col))
         f4_new = tuple(float(v) for v in f4_new)
@@ -669,6 +707,11 @@ def fit_stepwise(spec: ProblemSpec, data: ProblemData, state: SolverState,
         f4 = f4_new
         it += 1
     n_iter = it - 1
+    if pp_ds:
+        # exact final objective after PP-approximate iterations (see fit())
+        f4 = tuple(float(v) for v in func_eval(
+            spec, data, state, grams, znorms, reg_fns, None, options))
+        hist[-1] = f4
     harr = np.asarray(hist)
     if illc:
         exit_flag = "illconditioned lin system"
@@ -751,6 +794,10 @@ def fit(spec: ProblemSpec, data: ProblemData, state: SolverState,
 
     grams, colnorms = init_cache(spec, state)
     rho_scale = jnp.ones((spec.nb_modes,), dt)
+    from matlab_code_tpu.models.pairwise import (
+        eligible_pp_datasets, pp_init)
+    pp = pp_init(spec, data, state,
+                 eligible_pp_datasets(spec, data, options, mesh))
     chunk = options.TimeAtItChunk  # 0 = one runner call per phase
     time_marks = [(0, 0.0)]        # (iteration, elapsed) at chunk boundaries
 
@@ -767,9 +814,9 @@ def fit(spec: ProblemSpec, data: ProblemData, state: SolverState,
             chunk_end = min(last_it, int(it) + chunk - 1) if chunk > 0 \
                 else last_it
             (state, data, f4, frm, hist, it, stop_t, illc_t, grams,
-             colnorms, rho_scale) = runner(
+             colnorms, rho_scale, pp) = runner(
                 state, data, znorms, hist, f4, frm, it,
-                jnp.int32(chunk_end), grams, colnorms, rho_scale)
+                jnp.int32(chunk_end), grams, colnorms, rho_scale, pp)
             stop = bool(stop_t)
             illc = illc or bool(illc_t)
             time_marks.append((int(it) - 1, time.perf_counter() - t0))
@@ -777,6 +824,15 @@ def fit(spec: ProblemSpec, data: ProblemData, state: SolverState,
     t_total = time.perf_counter() - t0
 
     n_iter = int(it) - 1
+    if pp:
+        # pairwise perturbation was in play: the cached-MTTKRP objective is
+        # approximate during PP-active iterations — recompute the FINAL
+        # objective exactly (one full eval) and patch the histories.
+        f4 = func_eval(spec, data, state, grams, znorms, reg_fns,
+                       cached=None, options=options)
+        for k, i in zip(("f_tensors", "f_couplings", "f_constraints",
+                         "f_par2"), range(4)):
+            hist[k] = hist[k].at[n_iter].set(f4[i])
     f4 = tuple(float(v) for v in f4)
     # per-iteration wall times (out.time_at_it, cmtf_fun_AOADMM.m:455):
     # measured at chunk boundaries (every TimeAtItChunk iterations), linearly

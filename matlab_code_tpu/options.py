@@ -114,6 +114,22 @@ class AlgOptions:
     # intermediate — measured slower on v5e for the bench shapes, so off by
     # default; the PARAFAC2 W-reuse is free and always on)
     cp_dimension_tree: bool = False
+    # Pairwise-perturbation MTTKRP acceleration (Ma & Solomonik,
+    # arXiv:2010.12056) for 3-way Frobenius CP datasets without missing
+    # masks: once sweep-over-sweep factor steps fall below pp_start_tol,
+    # MTTKRPs are evaluated to first order from cached pairwise partials
+    # (T_nm = X contracted with one reference factor) — dense MXU einsums
+    # instead of data passes — and the partials are rebuilt whenever the
+    # accumulated perturbation exceeds pp_refresh_tol.  APPROXIMATE
+    # (error O(perturbation^2) per MTTKRP, shrinking as the fit converges);
+    # opt-in, off by default; biggest win for sparse COO datasets where a
+    # data pass is gather-bound (docs/ROOFLINE.md).  The objective stream
+    # carries O(pp_refresh_tol^2)-relative noise during PP-active
+    # iterations (the cached-MTTKRP objective reads the approximate
+    # MTTKRP); fit() recomputes the FINAL objective exactly.
+    cp_pairwise_perturbation: bool = False
+    pp_start_tol: float = 0.02
+    pp_refresh_tol: float = 0.05
 
 
 @dataclass(frozen=True)
