@@ -124,7 +124,8 @@ def kl_problem(I=128, J=256, K=256, R=8):
     return spec, data, state, opts
 
 
-def sparse_problem(D=2048, NNZ=10_000_000, R=16, pallas=True):
+def sparse_problem(D=2048, NNZ=10_000_000, R=16, pallas=True,
+                   structured=False):
     """Sparse COO CP (the reference's sptensor path): 1e7 nonzeros of a
     2048^3 tensor.  The gather/segment-sum MTTKRP is random-access-bound on
     TPU (~16 GB/s effective gather bandwidth; docs/ROOFLINE.md) — per-mode
@@ -141,8 +142,17 @@ def sparse_problem(D=2048, NNZ=10_000_000, R=16, pallas=True):
     dt = jnp.result_type(float)
     idx = np.unique(rng.integers(0, D, size=(NNZ, 3)).astype(np.int32),
                     axis=0)
-    st = SparseTensor(jnp.asarray(idx),
-                      jnp.asarray(rng.uniform(size=len(idx)).astype(dt)))
+    if structured:
+        # sampled entries of a ground-truth nonneg CP model (+2% noise):
+        # the realistic regime where factor steps shrink and the
+        # pairwise-perturbation accelerator engages
+        F = [rng.uniform(size=(D, R)).astype(dt) for _ in range(3)]
+        v = (F[0][idx[:, 0]] * F[1][idx[:, 1]] * F[2][idx[:, 2]]).sum(1)
+        v = v * (1.0 + 0.02 * rng.standard_normal(len(v)).astype(dt))
+        vals = v.astype(dt)
+    else:
+        vals = rng.uniform(size=len(idx)).astype(dt)
+    st = SparseTensor(jnp.asarray(idx), jnp.asarray(vals))
     if pallas:
         st = SparseTensor(st.indices, st.values).with_plans((D, D, D))
     data = ProblemData(objects=(st,), coupl_trafo=(None,) * 3,
