@@ -198,6 +198,16 @@ def t_smoothness_penalty(Bs: jnp.ndarray, eta: float) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+KNOWN_CONSTRAINT_KINDS = frozenset({
+    "non-negativity", "box", "simplex column-wise", "simplex row-wise",
+    "non-decreasing", "non-increasing", "unimodality", "l1-ball", "l2-ball",
+    "non-negative l2-ball", "non-negative l2-sphere", "orthonormal",
+    "l1 regularization", "l0 regularization", "l2 regularization", "ridge",
+    "quadratic regularization", "GL smoothness", "TV regularization",
+    "tPARAFAC2", "custom",
+})
+
+
 @dataclass(frozen=True)
 class ConstraintSpec:
     """Static description of one mode's constraint (the reference's
@@ -219,6 +229,15 @@ class ConstraintSpec:
     params: tuple = ()
     matrix: Any = None
     fns: tuple = ()
+
+    def __post_init__(self):
+        # eager typo guard: make_prox would also raise, but only at trace
+        # time deep inside fit(); the reference errors on unknown
+        # constraint strings up front (constraints_to_prox.m:89-91)
+        if self.kind not in KNOWN_CONSTRAINT_KINDS:
+            raise ValueError(
+                f"Unknown constraint kind: {self.kind!r}; known kinds: "
+                f"{sorted(KNOWN_CONSTRAINT_KINDS)}")
 
     def __hash__(self):
         return hash((self.kind, self.params, id(self.matrix), self.fns))

@@ -49,16 +49,23 @@ def _orth_bks(sizes, R, samp):
 
 
 def _smooth_bks(sizes, R, rng):
-    """Cubic-polynomial-basis smooth Bk (create_coupled_data_smoothBks.m:66-84)."""
-    J = sizes[0]
-    x = np.linspace(-1, 1, J)
-    M = np.stack([np.ones(J), x, x ** 2, x ** 3], axis=1)
-    Morth, _, _ = np.linalg.svd(M, full_matrices=False)
+    """Cubic-polynomial-basis smooth Bk (create_coupled_data_smoothBks.m:66-84).
+
+    The reference generator assumes equal slice sizes; for ragged sizes the
+    natural extension is to sample the same cubic-polynomial subspace on each
+    slice's own J_k grid (the per-slice random coefficients are unchanged).
+    """
+    def basis(J):
+        x = np.linspace(-1, 1, J)
+        M = np.stack([np.ones(J), x, x ** 2, x ** 3], axis=1)
+        Morth, _, _ = np.linalg.svd(M, full_matrices=False)
+        return Morth
+    cache = {J: basis(J) for J in dict.fromkeys(sizes)}
     B = rng.standard_normal((R, R))
     out = []
-    for _ in sizes:
+    for J in sizes:
         Pk, _ = np.linalg.qr(rng.standard_normal((4, R)))
-        out.append(Morth @ (Pk[:, :R] @ B))
+        out.append(cache[J] @ (Pk[:, :R] @ B))
     return out
 
 
@@ -126,6 +133,15 @@ def create_coupled_data(spec: ProblemSpec, lambdas, noise, distr,
                 continue
             if ds.model == PAR2 and ds.modes.index(n) == 1:
                 sizes = spec.par2_slice_sizes(p)
+                if bk_style in ("shift", "temporal") and len(set(sizes)) > 1:
+                    # circshift / random-walk Bk need one common J grid
+                    # (the reference only defines them for equal sizes,
+                    # create_coupled_data.m:64-72; ragged data there comes
+                    # from create_irregularPARAFAC2_coupled_data.m = orth)
+                    raise ValueError(
+                        f"bk_style='{bk_style}' assumes equal PARAFAC2 slice "
+                        f"sizes, got ragged {tuple(sizes)}; use bk_style="
+                        "'orth', 'smooth' or 'unimodal' for ragged slices")
                 if bk_style == "shift":
                     AA = samp(n)(sizes[0], R)
                     if normalize_columns:

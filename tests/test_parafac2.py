@@ -349,3 +349,34 @@ def test_inner_solve_newton_matches_chol():
     np.testing.assert_allclose(res_n["out"].func_coupl_conv,
                                res_c["out"].func_coupl_conv,
                                rtol=1e-7, atol=1e-10)
+
+
+def test_ragged_bk_style_validation_and_smooth_extension():
+    """Ragged slice sizes: bk_style 'shift'/'temporal' need one common J grid
+    (the reference defines them only for equal sizes,
+    create_coupled_data.m:64-72) and must raise a CLEAR error instead of
+    producing mis-padded slices that crash deep inside fit(); 'smooth'
+    extends naturally (same cubic subspace sampled on each slice's own
+    grid) and the resulting problem fits to machine precision."""
+    from matlab_code_tpu.utils.datagen import create_coupled_data
+    sizes = (20, 24, 18, 22)
+    spec = ProblemSpec(
+        mode_sizes=(15, sizes, len(sizes)),
+        datasets=(DatasetSpec(model="PAR2", modes=(0, 1, 2), rank=3),),
+        coupling=CouplingSpec(lin_coupled_modes=(0, 0, 0), coupling_type=()),
+        constraints=(None, None, ConstraintSpec("non-negativity")))
+    for style in ("shift", "temporal"):
+        with pytest.raises(ValueError, match="equal PARAFAC2 slice sizes"):
+            create_coupled_data(spec, lambdas=[[1, 1, 1]], noise=0.0,
+                                distr=["randn", "randn", "rand+0.1"],
+                                rng=5, bk_style=style)
+    res = run_problem(spec, lambdas=[[1, 1, 1]],
+                      distr=["randn", "randn", "rand+0.1"], opts=OPTS,
+                      key=2, bk_style="smooth")
+    assert res["out"].f_tensors < 1e-7
+    assert _par2_fit(res, spec, 0) > 99.99
+    # each true Bk has its own J_k rows, and padded state rows stay zero
+    assert [b.shape[0] for b in res["Atrue"][1]] == list(sizes)
+    Bk = np.asarray(res["state"].fac[1])
+    for k, J in enumerate(sizes):
+        np.testing.assert_allclose(Bk[k, J:, :], 0.0, atol=1e-12)

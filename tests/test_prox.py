@@ -301,3 +301,16 @@ def test_make_prox_all_kinds_run(kind, params):
     assert np.all(np.isfinite(np.asarray(out)))
     if reg is not None:
         assert np.isfinite(float(reg(x)))
+
+
+def test_constraint_spec_rejects_unknown_kind_eagerly():
+    """A typo'd constraint kind fails at spec CONSTRUCTION, not at trace
+    time deep inside fit() (constraints_to_prox.m:89-91 errors up front)."""
+    import pytest
+    from matlab_code_tpu import ConstraintSpec
+    with pytest.raises(ValueError, match="Unknown constraint kind"):
+        ConstraintSpec("temporal smoothness (tPARAFAC2)", (0.1,))
+    # every documented kind still constructs
+    from matlab_code_tpu.ops.prox import KNOWN_CONSTRAINT_KINDS
+    for k in KNOWN_CONSTRAINT_KINDS:
+        ConstraintSpec(k, (1.0,))
