@@ -17,19 +17,20 @@ Public API (rough mapping to the reference):
 
 from matlab_code_tpu.problem import (
     ProblemSpec, DatasetSpec, CouplingSpec, ConstraintSpec, ProblemData,
-    check_data_input,
+    SparseTensor, Parafac2Tensor, check_data_input,
 )
 from matlab_code_tpu.options import AlgOptions, InitOptions
 from matlab_code_tpu.state import SolverState
 from matlab_code_tpu.models.init import init_coupled
 from matlab_code_tpu.models.solver import cmtf_aoadmm, fit
+from matlab_code_tpu.models.multistart import fit_multistart
 from matlab_code_tpu.utils.datagen import create_coupled_data
 
 __all__ = [
     "ProblemSpec", "DatasetSpec", "CouplingSpec", "ConstraintSpec",
-    "ProblemData", "AlgOptions", "InitOptions", "SolverState",
-    "init_coupled", "cmtf_aoadmm", "fit", "create_coupled_data",
-    "check_data_input",
+    "ProblemData", "SparseTensor", "Parafac2Tensor", "AlgOptions",
+    "InitOptions", "SolverState", "init_coupled", "cmtf_aoadmm", "fit",
+    "fit_multistart", "create_coupled_data", "check_data_input",
 ]
 
 __version__ = "0.1.0"

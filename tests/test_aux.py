@@ -170,3 +170,15 @@ def test_sharded_full_fit_matches_single_device():
                                    np.asarray(st_ref.fac[m]),
                                    rtol=1e-9, atol=1e-11)
     assert out_sh.OuterIterations == out_ref.OuterIterations
+
+
+def test_public_api_exports():
+    """Everything a reference user needs is importable from the package
+    root: spec/option types, BOTH data container types (SparseTensor,
+    Parafac2Tensor), and the driver entry points incl. multistart."""
+    import matlab_code_tpu as mct
+    for name in mct.__all__:
+        assert getattr(mct, name) is not None
+    for required in ("SparseTensor", "Parafac2Tensor", "fit_multistart",
+                     "cmtf_aoadmm", "fit", "create_coupled_data"):
+        assert required in mct.__all__
