@@ -95,6 +95,27 @@ def init_coupled(spec: ProblemSpec, data: ProblemData,
     ncpl = spec.coupling.n_couplings
     P = len(spec.datasets)
     distr = init_options.distr or tuple("rand" for _ in range(nb))
+    if len(distr) != nb:
+        raise ValueError(
+            f"init_options.distr has {len(distr)} entries for {nb} modes")
+    # In the reference, lambdas_init only defines the init rank per dataset
+    # (init_coupled_AOADMM_CMTF.m:17,52 uses length(lambdas{p}) exclusively);
+    # here ranks come from DatasetSpec.rank, so a non-empty lambdas_init
+    # must agree with the spec instead of being silently ignored.
+    if init_options.lambdas_init:
+        li = init_options.lambdas_init
+        if len(li) != P:
+            raise ValueError(
+                f"init_options.lambdas_init has {len(li)} entries for "
+                f"{P} datasets")
+        for p, lam in enumerate(li):
+            if len(lam) != spec.datasets[p].rank:
+                raise ValueError(
+                    f"init_options.lambdas_init[{p}] has length {len(lam)} "
+                    f"but dataset {p} has rank {spec.datasets[p].rank} "
+                    "(the reference derives the init rank from "
+                    "length(lambdas_init); here DatasetSpec.rank is "
+                    "authoritative and they must agree)")
 
     def draw(m, shape):
         nonlocal key

@@ -151,3 +151,38 @@ def test_pallas_mttkrp_interpret():
     got = mttkrp3_mode0(X, B, C, interpret=True)
     want = mttkrp(X, [jnp.zeros((I, R), jnp.float32), B, C], 0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-3)
+
+
+def test_init_options_validation():
+    """init_coupled rejects contradictory init options with clear errors:
+    distr length must match the mode count, and a non-empty lambdas_init
+    must agree with DatasetSpec.rank per dataset (the reference derives the
+    init rank from length(lambdas_init), init_coupled_AOADMM_CMTF.m:17,52;
+    here the spec is authoritative)."""
+    import pytest
+    from matlab_code_tpu.models.init import init_coupled
+    from matlab_code_tpu.utils.datagen import create_coupled_data
+    spec = ProblemSpec(
+        mode_sizes=(8, 9, 10),
+        datasets=(DatasetSpec(model="CP", modes=(0, 1, 2), rank=3),),
+        coupling=CouplingSpec(lin_coupled_modes=(0, 0, 0), coupling_type=()),
+        constraints=(None, None, None))
+    data, _, _, _ = create_coupled_data(spec, lambdas=[[1, 1, 1]], noise=0.0,
+                                        distr=["rand", "randn", "randn"],
+                                        rng=3)
+    with pytest.raises(ValueError, match="distr has 2 entries for 3 modes"):
+        init_coupled(spec, data, InitOptions(distr=("rand", "randn"),
+                                             lambdas_init=((1, 1, 1),)), key=1)
+    with pytest.raises(ValueError, match="length 2 .* rank 3"):
+        init_coupled(spec, data,
+                     InitOptions(distr=("rand", "randn", "randn"),
+                                 lambdas_init=((1, 1),)), key=1)
+    with pytest.raises(ValueError, match="2 entries for 1 datasets"):
+        init_coupled(spec, data,
+                     InitOptions(distr=("rand", "randn", "randn"),
+                                 lambdas_init=((1, 1, 1), (1, 1))), key=1)
+    # valid options still build a full state
+    st = init_coupled(spec, data,
+                      InitOptions(distr=("rand", "randn", "randn"),
+                                  lambdas_init=((1, 1, 1),)), key=1)
+    assert st.fac[0].shape == (8, 3)
