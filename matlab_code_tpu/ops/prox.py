@@ -238,6 +238,16 @@ class ConstraintSpec:
             raise ValueError(
                 f"Unknown constraint kind: {self.kind!r}; known kinds: "
                 f"{sorted(KNOWN_CONSTRAINT_KINDS)}")
+        # kind-specific requirements, also checked eagerly: make_prox would
+        # only fail at trace time deep inside fit()
+        if self.kind == "custom" and not self.fns:
+            raise ValueError(
+                "ConstraintSpec('custom') requires fns=(prox_fn[, reg_fn]) "
+                "(constraints_to_prox.m:86-90 takes the handles in the cell)")
+        if self.kind == "quadratic regularization" and self.matrix is None:
+            raise ValueError(
+                "ConstraintSpec('quadratic regularization') requires the "
+                "matrix= L operand (constraints_to_prox.m:62-67)")
 
     def __hash__(self):
         return hash((self.kind, self.params, id(self.matrix), self.fns))

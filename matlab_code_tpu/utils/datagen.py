@@ -48,13 +48,21 @@ def _orth_bks(sizes, R, samp):
     return out
 
 
-def _smooth_bks(sizes, R, rng):
-    """Cubic-polynomial-basis smooth Bk (create_coupled_data_smoothBks.m:66-84).
+def _smooth_bks(sizes, R, rng, normalize_columns=False):
+    """Cubic-polynomial-basis smooth Bk (create_coupled_data_smoothBks.m:66-84,
+    per-column normalization when requested :77-81).
 
     The reference generator assumes equal slice sizes; for ragged sizes the
     natural extension is to sample the same cubic-polynomial subspace on each
     slice's own J_k grid (the per-slice random coefficients are unchanged).
     """
+    if min(sizes) < 4:
+        raise ValueError(
+            f"bk_style='smooth' needs every PARAFAC2 slice size >= 4 (the "
+            f"cubic basis [1,x,x^2,x^3] has 4 columns, "
+            f"create_coupled_data_smoothBks.m:70-72); got sizes "
+            f"{tuple(sizes)}")
+
     def basis(J):
         x = np.linspace(-1, 1, J)
         M = np.stack([np.ones(J), x, x ** 2, x ** 3], axis=1)
@@ -65,7 +73,8 @@ def _smooth_bks(sizes, R, rng):
     out = []
     for J in sizes:
         Pk, _ = np.linalg.qr(rng.standard_normal((4, R)))
-        out.append(cache[J] @ (Pk[:, :R] @ B))
+        Bk = cache[J] @ (Pk[:, :R] @ B)
+        out.append(_normalize(Bk) if normalize_columns else Bk)
     return out
 
 
@@ -150,7 +159,7 @@ def create_coupled_data(spec: ProblemSpec, lambdas, noise, distr,
                 elif bk_style == "orth":
                     A[n] = _orth_bks(sizes, R, samp(n))
                 elif bk_style == "smooth":
-                    A[n] = _smooth_bks(sizes, R, rng)
+                    A[n] = _smooth_bks(sizes, R, rng, normalize_columns)
                 elif bk_style == "unimodal":
                     A[n] = _unimodal_bks(sizes, R, rng)
                 elif bk_style == "temporal":

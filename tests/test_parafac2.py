@@ -380,3 +380,32 @@ def test_ragged_bk_style_validation_and_smooth_extension():
     Bk = np.asarray(res["state"].fac[1])
     for k, J in enumerate(sizes):
         np.testing.assert_allclose(Bk[k, J:, :], 0.0, atol=1e-12)
+
+
+def test_smooth_bks_normalize_columns_and_min_size():
+    """_smooth_bks honors normalize_columns (per-column unit norms,
+    create_coupled_data_smoothBks.m:77-81) and raises a clear error for
+    slice sizes < 4 (the cubic basis needs >= 4 rows)."""
+    from matlab_code_tpu.utils.datagen import create_coupled_data
+    sizes = (12, 12, 12)
+    spec = ProblemSpec(
+        mode_sizes=(10, sizes, len(sizes)),
+        datasets=(DatasetSpec(model="PAR2", modes=(0, 1, 2), rank=3),),
+        coupling=CouplingSpec(lin_coupled_modes=(0, 0, 0), coupling_type=()),
+        constraints=(None, None, None))
+    _, Atrue, _, _ = create_coupled_data(
+        spec, lambdas=[[1, 1, 1]], noise=0.0,
+        distr=["randn", "randn", "rand+0.1"], rng=5, bk_style="smooth",
+        normalize_columns=True)
+    for Bk in Atrue[1]:
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(Bk), axis=0),
+                                   1.0, rtol=1e-12)
+    tiny = ProblemSpec(
+        mode_sizes=(10, (3, 3), 2),
+        datasets=(DatasetSpec(model="PAR2", modes=(0, 1, 2), rank=2),),
+        coupling=CouplingSpec(lin_coupled_modes=(0, 0, 0), coupling_type=()),
+        constraints=(None, None, None))
+    with pytest.raises(ValueError, match="slice size >= 4"):
+        create_coupled_data(tiny, lambdas=[[1, 1]], noise=0.0,
+                            distr=["randn", "randn", "rand+0.1"], rng=5,
+                            bk_style="smooth")

@@ -289,28 +289,61 @@ def test_quadratic_prox():
     ("l0 regularization", (0.1,)),
     ("l2 regularization", (0.1,)),
     ("ridge", (0.1,)),
+    ("quadratic regularization", (0.1,)),
     ("GL smoothness", (0.1,)),
     ("TV regularization", (0.1,)),
+    ("tPARAFAC2", (0.1,)),
+    ("custom", ()),
 ])
 def test_make_prox_all_kinds_run(kind, params):
-    spec = P.ConstraintSpec(kind=kind, params=params)
+    kw = {}
+    if kind == "quadratic regularization":
+        kw["matrix"] = np.asarray(P.gl_smoothness_matrix(8))
+    if kind == "custom":
+        kw["fns"] = ((lambda x, rho: jnp.clip(x, 0.0)),
+                     (lambda x: jnp.sum(x * x)))
+    spec = P.ConstraintSpec(kind=kind, params=params, **kw)
     prox, reg = P.make_prox(spec, mode_size=8)
-    x = jnp.asarray(rng.standard_normal((8, 3)))
-    out = prox(x, 2.0)
+    # tPARAFAC2's joint prox acts on the stacked (K, J, R) Bk slices with a
+    # per-slice rho vector (cmtf_fun_AOADMM.m:553-565)
+    shape = (5, 8, 3) if kind == "tPARAFAC2" else (8, 3)
+    rho = jnp.full((5,), 2.0) if kind == "tPARAFAC2" else 2.0
+    x = jnp.asarray(rng.standard_normal(shape))
+    out = prox(x, rho)
     assert out.shape == x.shape
     assert np.all(np.isfinite(np.asarray(out)))
     if reg is not None:
         assert np.isfinite(float(reg(x)))
 
 
+def test_make_prox_parametrization_covers_every_known_kind():
+    """Guard against KNOWN_CONSTRAINT_KINDS and make_prox's dispatch chain
+    drifting apart: the parametrized runner above must exercise every kind
+    the eager validator admits."""
+    covered = {kind for (kind, _params) in
+               test_make_prox_all_kinds_run.pytestmark[0].args[1]}
+    assert covered == set(P.KNOWN_CONSTRAINT_KINDS)
+
+
 def test_constraint_spec_rejects_unknown_kind_eagerly():
     """A typo'd constraint kind fails at spec CONSTRUCTION, not at trace
-    time deep inside fit() (constraints_to_prox.m:89-91 errors up front)."""
+    time deep inside fit() (constraints_to_prox.m:89-91 errors up front).
+    Kind-specific operands (custom fns, quadratic L) are required eagerly
+    too."""
     import pytest
     from matlab_code_tpu import ConstraintSpec
     with pytest.raises(ValueError, match="Unknown constraint kind"):
         ConstraintSpec("temporal smoothness (tPARAFAC2)", (0.1,))
-    # every documented kind still constructs
+    with pytest.raises(ValueError, match="custom"):
+        ConstraintSpec("custom")
+    with pytest.raises(ValueError, match="quadratic regularization"):
+        ConstraintSpec("quadratic regularization", (1.0,))
+    # every documented kind still constructs (with its required operands)
     from matlab_code_tpu.ops.prox import KNOWN_CONSTRAINT_KINDS
     for k in KNOWN_CONSTRAINT_KINDS:
-        ConstraintSpec(k, (1.0,))
+        if k == "custom":
+            ConstraintSpec(k, fns=((lambda x, rho: x),))
+        elif k == "quadratic regularization":
+            ConstraintSpec(k, (1.0,), matrix=np.eye(4))
+        else:
+            ConstraintSpec(k, (1.0,))
