@@ -53,10 +53,13 @@ def _t_smoothness_prox(mats, rho, eta):
 
 class OracleCMTF:
     """Coupled CP datasets, Frobenius, nonneg-constrained modes, one exact
-    coupling id (or none)."""
+    coupling id (or none).  Optional per-mode ridge (cmtf_fun_AOADMM.m:
+    117-119, objective :1290-1300) and BSUM proximal term (:124-127)."""
 
     def __init__(self, Xs, modes, weights, constrained, coupled_modes,
-                 state):
+                 state, ridge=None, bsum_weight=None):
+        self.ridge = ridge                      # tuple per mode, or None
+        self.bsum_weight = bsum_weight          # float, or None
         self.Xs = [np.asarray(x, np.float64) for x in Xs]
         self.modes = modes                      # list of tuples of global ids
         self.weights = weights
@@ -103,9 +106,16 @@ class OracleCMTF:
             C = self.grams[other]
         rho = np.trace(C) / C.shape[0]
         B = w * C
+        if self.ridge is not None and self.ridge[m]:
+            B = B + self.ridge[m] * np.eye(B.shape[0])   # :117-119
+        # cache BEFORE the bsum terms (the reference caches at :121-123,
+        # bsum is added at :124-127)
         self.last_mttkrp[p] = A / w
         self.last_had[p] = C
         self.last_m[p] = m
+        if self.bsum_weight:
+            A = A + self.bsum_weight / 2.0 * self.fac[m]
+            B = B + self.bsum_weight / 2.0 * np.eye(B.shape[0])
         return A, B, rho
 
     def _admm_constrained(self, m, A, B, rho, opts):
@@ -215,6 +225,10 @@ class OracleCMTF:
             f2 = np.sum(mk * self.fac[m])
             f3 = np.sum(had * self.grams[m])
             f += self.weights[p] * (znorms[p] - 2 * f2 + f3)
+        if self.ridge is not None:
+            for m in range(self.nb):             # :1290-1300
+                if self.ridge[m]:
+                    f += self.ridge[m] * np.sum(self.fac[m] ** 2)
         # coupling stream (type-0 form; callers with H-couplings pass
         # compute_fc=False and compute their own)
         fc = 0.0
@@ -946,3 +960,133 @@ class OracleParafac2CoupledC5:
         fz = (_frob(b.C - self.ZC) / _frob(b.C)
               if self.ZC is not None else 0.0)
         return f, fc, fz, fp
+
+
+def nvecs_init(Xs, modes, n, r):
+    """Independent numpy cmtf_nvecs (cmtf_nvecs.m:34-56): leading r
+    eigenvectors of the summed Gram of the mode-n unfoldings of every
+    dataset containing global mode n."""
+    G = None
+    for X, t in zip(Xs, modes):
+        if n in t:
+            X = np.asarray(X, np.float64)
+            local = t.index(n)
+            U = np.moveaxis(X, local, 0).reshape(X.shape[local], -1)
+            g = U @ U.T
+            G = g if G is None else G + g
+    w, V = np.linalg.eigh(G)
+    V = V[:, np.argsort(-w)[:r]]
+    # sign convention matched to ops/linalg.top_eigvecs (largest-|.| entry
+    # of each vector positive) — eigs signs are arbitrary either way
+    idx = np.argmax(np.abs(V), axis=0)
+    return V * np.sign(V[idx, np.arange(r)])
+
+
+class OracleKL:
+    """Single uncoupled CP dataset, KL loss, nonneg-constrained modes; the
+    inner factor solves use SCIPY's L-BFGS-B on the identical
+    compute_gen_f_g objective (cmtf_fun_AOADMM.m:1365-1418) — an
+    implementation-independent check of the jitted ops/lbfgsb.py path at
+    matched (tight) inner-solution tolerance.  Covers the non-Frobenius
+    rho heuristic (:129) including the colnorm-OVERWRITE refresh quirk
+    (:151-153: the refreshed value is the squared norm of the LAST column
+    only), the ridge/2 gradient quirk (:1401) and the bsum anchor (:1403)."""
+
+    def __init__(self, X, modes, constrained, state, weight=1.0,
+                 eps_log=1e-10, ridge=None, bsum_weight=None,
+                 lbfgsb_m=5, lbfgsb_maxits=200, lbfgsb_pgtol=1e-10,
+                 lbfgsb_factr=10.0):
+        self.X = np.asarray(X, np.float64)
+        self.modes = tuple(modes)
+        self.constrained = set(constrained)
+        self.w = weight
+        self.eps = eps_log
+        self.ridge = ridge
+        self.bsum_weight = bsum_weight
+        self.lopt = dict(m=lbfgsb_m, maxiter=lbfgsb_maxits,
+                         pgtol=lbfgsb_pgtol, factr=lbfgsb_factr)
+        nb = 1 + max(self.modes)
+        self.nb = nb
+        self.fac = [np.array(state.fac[m], np.float64) for m in range(nb)]
+        self.Z = [np.array(state.constraint_fac[m], np.float64)
+                  if m in self.constrained else None for m in range(nb)]
+        self.U = [np.array(state.constraint_dual_fac[m], np.float64)
+                  if m in self.constrained else None for m in range(nb)]
+        # sum of squared column norms per mode (cmtf_fun_AOADMM.m:77-80)
+        self.colnorms = np.array([np.sum(self.fac[m] ** 2)
+                                  for m in range(nb)])
+
+    def _model(self, m=None, x=None):
+        facs = [x if (m is not None and j == m) else self.fac[j]
+                for j in self.modes]
+        sub = "abcdef"[:len(self.modes)]
+        eq = ",".join(f"{s}r" for s in sub) + "->" + sub
+        return np.einsum(eq, *facs, optimize=True), facs
+
+    def _vag(self, xvec, m, rho, constrained):
+        x = xvec.reshape(self.fac[m].shape)
+        M, facs = self._model(m, x)
+        f = self.w * np.sum(M - self.X * np.log(M + self.eps))
+        Y = 1.0 - self.X / (M + self.eps)
+        local = self.modes.index(m)
+        g = self.w * _mttkrp(Y, facs, local).reshape(-1)
+        if constrained:
+            d = xvec - self.Z[m].reshape(-1) + self.U[m].reshape(-1)
+            f += rho / 2.0 * np.sum(d * d)
+            g = g + rho * d
+        if self.ridge is not None and self.ridge[m]:
+            f += self.ridge[m] * np.sum(xvec * xvec)
+            g = g + self.ridge[m] / 2.0 * xvec     # the :1401 /2 quirk
+        if self.bsum_weight:
+            d = xvec - self.fac[m].reshape(-1)
+            f += self.bsum_weight / 2.0 * np.sum(d * d)
+            g = g + self.bsum_weight * d
+        return f, g
+
+    def _lbfgsb(self, m, rho, constrained):
+        from scipy.optimize import fmin_l_bfgs_b
+        x0 = self.fac[m].reshape(-1)
+        x, _, info = fmin_l_bfgs_b(
+            lambda v: self._vag(v, m, rho, constrained), x0,
+            bounds=[(0.0, None)] * x0.size, **self.lopt)
+        self.fac[m] = x.reshape(self.fac[m].shape)
+        return info["nit"]
+
+    def sweep(self, opts):
+        for m in self.modes:
+            rho = float(np.sum(self.colnorms) - self.colnorms[m])
+            if m in self.constrained:
+                pr = dr = np.inf
+                it = 1
+                while it <= opts.MaxInnerIters and (
+                        pr > opts.innerRelPrTol_constr
+                        or dr > opts.innerRelDualTol_constr):
+                    self._lbfgsb(m, rho, True)
+                    oldZ = self.Z[m]
+                    self.Z[m] = np.maximum(self.fac[m] + self.U[m], 0.0)
+                    self.U[m] = self.U[m] + self.fac[m] - self.Z[m]
+                    pr = _frob(self.fac[m] - self.Z[m]) / _frob(self.fac[m])
+                    s = _frob(self.U[m])
+                    d = _frob(self.Z[m] - oldZ)
+                    dr = d / s if s > 0 else d
+                    it += 1
+            else:
+                self._lbfgsb(m, -1.0, False)
+            # colnorm refresh OVERWRITE quirk (:151-153)
+            self.colnorms[m] = np.sum(self.fac[m][:, -1] ** 2)
+
+    def objective(self, znorm):
+        M, _ = self._model()
+        f = self.w * (znorm + np.sum(M - self.X * np.log(M + self.eps)))
+        if self.ridge is not None:
+            for m in range(self.nb):
+                if self.ridge[m]:
+                    f += self.ridge[m] * np.sum(self.fac[m] ** 2)
+        vals = [(_frob(self.fac[m] - self.Z[m]) / _frob(self.fac[m]))
+                for m in range(self.nb) if m in self.constrained]
+        fz = 0.0
+        if vals:
+            arr = np.asarray(vals)
+            nnz = np.sum(arr != 0)
+            fz = arr.sum() / nnz if nnz > 0 else arr.sum()
+        return f, fz

@@ -508,3 +508,154 @@ def test_oracle_parity_tparafac2_joint_prox():
     for k in range(K):
         np.testing.assert_allclose(np.asarray(state.fac[1][k]), orc.B[k],
                                    rtol=1e-7, atol=1e-9)
+
+
+def test_oracle_parity_ridge_bsum():
+    """Ridge (cmtf_fun_AOADMM.m:117-119, objective :1290-1300) and BSUM
+    (:124-127) trajectories are deterministic — exact parity."""
+    spec = ProblemSpec(
+        mode_sizes=(8, 9, 10),
+        datasets=(DatasetSpec(model="CP", modes=(0, 1, 2), rank=2),),
+        coupling=CouplingSpec(lin_coupled_modes=(0, 0, 0), coupling_type=()),
+        constraints=(ConstraintSpec("non-negativity"), None,
+                     ConstraintSpec("non-negativity")),
+        ridge=(0.05, 0.0, 0.02))
+    data, _, _, _ = create_coupled_data(
+        spec, lambdas=[[1, 1]], noise=0.05,
+        distr=["rand", "randn", "rand"], rng=6)
+    data, _ = normalize_data(spec, data)
+    init = InitOptions(distr=("rand", "randn", "rand"), normalize=True,
+                       lambdas_init=((1, 1),))
+    state0 = init_coupled(spec, data, init, key=5)
+    T = 12
+    opts = AlgOptions(MaxOuterIters=T, AbsFuncTol=0.0, OuterRelTol=0.0,
+                      bsum=True, bsum_weight=1e-3)
+
+    state, out = fit(spec, data, state0, opts)
+
+    orc = OracleCMTF(Xs=[np.asarray(data.objects[0])], modes=[(0, 1, 2)],
+                     weights=[1.0], constrained={0, 2}, coupled_modes=(),
+                     state=state0, ridge=(0.05, 0.0, 0.02),
+                     bsum_weight=1e-3)
+    znorms = [float(z) for z in compute_znorm_consts(spec, data, opts)]
+    traj = []
+    for _ in range(T):
+        orc.sweep(opts)
+        traj.append(orc.objective(znorms))
+    traj = np.asarray(traj)
+    np.testing.assert_allclose(out.func_val_conv[1:], traj[:, 0],
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(out.func_constr_conv[1:], traj[:, 2],
+                               rtol=1e-8, atol=1e-12)
+    for m in range(3):
+        np.testing.assert_allclose(np.asarray(state.fac[m]), orc.fac[m],
+                                   rtol=1e-8, atol=1e-10)
+
+
+def test_oracle_parity_nvecs_init():
+    """The nvecs spectral init (cmtf_nvecs.m:34-56) is deterministic: the
+    initial factors must match an independent numpy eig of the concatenated
+    unfolding Gram, and the trajectory from that init must match the oracle
+    — this trajectory shares NO random draws between solver and oracle on
+    the factor matrices."""
+    from tests.oracle import nvecs_init
+    spec = ProblemSpec(
+        mode_sizes=(8, 9, 10, 8, 11),
+        datasets=(DatasetSpec(model="CP", modes=(0, 1, 2), rank=2,
+                              weight=0.5),
+                  DatasetSpec(model="CP", modes=(3, 4), rank=2, weight=0.5)),
+        coupling=CouplingSpec(lin_coupled_modes=(1, 0, 0, 1, 0),
+                              coupling_type=(0,)),
+        constraints=(ConstraintSpec("non-negativity"), None, None,
+                     ConstraintSpec("non-negativity"), None))
+    data, _, _, _ = create_coupled_data(
+        spec, lambdas=[[1, 1], [1, 1]], noise=0.05,
+        distr=["rand", "randn", "rand", "rand", "randn"], rng=6)
+    data, _ = normalize_data(spec, data)
+    init = InitOptions(distr=("rand",) * 5, normalize=True,
+                       lambdas_init=((1, 1), (1, 1)), nvecs=True)
+    state0 = init_coupled(spec, data, init, key=5)
+
+    Xs = [np.asarray(data.objects[0]), np.asarray(data.objects[1])]
+    modes = [(0, 1, 2), (3, 4)]
+    for m in range(5):
+        np.testing.assert_allclose(
+            np.asarray(state0.fac[m]), nvecs_init(Xs, modes, m, 2),
+            rtol=1e-9, atol=1e-11, err_msg=f"nvecs init mode {m}")
+
+    T = 10
+    opts = AlgOptions(MaxOuterIters=T, AbsFuncTol=0.0, OuterRelTol=0.0)
+    state, out = fit(spec, data, state0, opts)
+    orc = OracleCMTF(Xs=Xs, modes=modes, weights=[0.5, 0.5],
+                     constrained={0, 3}, coupled_modes=(0, 3), state=state0)
+    znorms = [float(z) for z in compute_znorm_consts(spec, data, opts)]
+    traj = []
+    for _ in range(T):
+        orc.sweep(opts)
+        traj.append(orc.objective(znorms))
+    traj = np.asarray(traj)
+    np.testing.assert_allclose(out.func_val_conv[1:], traj[:, 0],
+                               rtol=1e-9, atol=1e-12)
+    for m in range(5):
+        np.testing.assert_allclose(np.asarray(state.fac[m]), orc.fac[m],
+                                   rtol=1e-8, atol=1e-10)
+
+
+def test_oracle_parity_kl():
+    """KL-loss factor updates: the jitted ops/lbfgsb.py inner solver against
+    SCIPY's L-BFGS-B on the identical compute_gen_f_g objective
+    (cmtf_fun_AOADMM.m:1365-1418), both at tight inner tolerance
+    (pgtol 1e-10).  The iterate paths of the two L-BFGS implementations may
+    differ, so the contract is factor-level agreement per OUTER iteration
+    (each strictly-convex inner subproblem has one solution), not bitwise
+    trajectory equality."""
+    from matlab_code_tpu.options import LbfgsbOptions
+    from matlab_code_tpu.models.solver import make_outer_step, init_cache
+    from tests.oracle import OracleKL
+
+    spec = ProblemSpec(
+        mode_sizes=(7, 8, 6),
+        datasets=(DatasetSpec(model="CP", modes=(0, 1, 2), rank=2,
+                              loss="KL"),),
+        coupling=CouplingSpec(lin_coupled_modes=(0, 0, 0), coupling_type=()),
+        constraints=(ConstraintSpec("non-negativity"),
+                     ConstraintSpec("non-negativity"),
+                     ConstraintSpec("non-negativity")))
+    data, _, _, _ = create_coupled_data(
+        spec, lambdas=[[30, 30]], noise=0.0, distr=["rand"] * 3, rng=6)
+    init = InitOptions(distr=("rand",) * 3, normalize=False,
+                       lambdas_init=((1, 1),))
+    state0 = init_coupled(spec, data, init, key=5)
+    T = 5
+    lopt = LbfgsbOptions(m=5, maxIts=200, maxTotalIts=20000, pgtol=1e-10,
+                         factr=10.0)
+    opts = AlgOptions(MaxOuterIters=T, AbsFuncTol=0.0, OuterRelTol=0.0,
+                      lbfgsb=lopt)
+
+    proxes, reg_fns = build_proxes(spec)
+    step = make_outer_step(spec, opts, proxes, reg_fns, True)
+    grams, colnorms = init_cache(spec, state0)
+    orc = OracleKL(np.asarray(data.objects[0]), modes=(0, 1, 2),
+                   constrained={0, 1, 2}, state=state0,
+                   eps_log=opts.eps_log, lbfgsb_m=5, lbfgsb_maxits=200,
+                   lbfgsb_pgtol=1e-10, lbfgsb_factr=10.0)
+    state = state0
+    rho_scale = None
+    for t in range(T):
+        state, grams, colnorms, rho_scale, *_ = step(
+            state, data, grams, colnorms, rho_scale)
+        orc.sweep(opts)
+        for m in range(3):
+            a = np.asarray(state.fac[m])
+            b = orc.fac[m]
+            err = np.max(np.abs(a - b)) / np.max(np.abs(b))
+            assert err < 1e-5, (t, m, err)
+
+    # objective stream parity at the same (loose) level
+    znorm = float(compute_znorm_consts(spec, data, opts)[0])
+    f, fz = orc.objective(znorm)
+    from matlab_code_tpu.models.objective import func_eval
+    vals = func_eval(spec, data, state, grams,
+                     compute_znorm_consts(spec, data, opts), reg_fns, None,
+                     options=opts)
+    np.testing.assert_allclose(float(vals[0]), f, rtol=1e-6)
