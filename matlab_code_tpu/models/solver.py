@@ -914,7 +914,9 @@ def assemble_zhat(spec: ProblemSpec, state: SolverState):
     zhat = []
     for p, ds in enumerate(spec.datasets):
         if ds.model == CP:
-            zhat.append({"weights": None,
+            # ktensor(U) packaging carries implicit unit weights
+            # (cmtf_AOADMM.m:200: ktensor(Fac.fac(Z.modes{p})) -> lambda=1)
+            zhat.append({"weights": np.ones(ds.rank),
                          "factors": [np.asarray(state.fac[j])
                                      for j in ds.modes]})
         else:

@@ -186,3 +186,29 @@ def test_init_options_validation():
                       InitOptions(distr=("rand", "randn", "randn"),
                                   lambdas_init=((1, 1, 1),)), key=1)
     assert st.fac[0].shape == (8, 3)
+
+
+def test_zhat_cp_ktensor_unit_weights():
+    """CP Zhat entries are ktensor-style {weights, factors} with implicit
+    UNIT weights (cmtf_AOADMM.m:200 packages ktensor(U) -> lambda = ones)."""
+    import numpy as np
+    from matlab_code_tpu.models.solver import assemble_zhat
+    from matlab_code_tpu.models.init import init_coupled
+    from matlab_code_tpu import (ProblemSpec, DatasetSpec, CouplingSpec,
+                                 InitOptions)
+    spec = ProblemSpec(
+        mode_sizes=(5, 6, 7),
+        datasets=(DatasetSpec(model="CP", modes=(0, 1, 2), rank=3),),
+        coupling=CouplingSpec(lin_coupled_modes=(0, 0, 0), coupling_type=()),
+        constraints=(None,) * 3)
+    from matlab_code_tpu.problem import ProblemData
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    data = ProblemData(objects=(jnp.asarray(rng.uniform(size=(5, 6, 7))),),
+                       coupl_trafo=(None,) * 3, coupl_trafo2=(None,) * 3)
+    st = init_coupled(spec, data,
+                      InitOptions(distr=("rand",) * 3, normalize=True,
+                                  lambdas_init=((1, 1, 1),)), key=0)
+    zhat = assemble_zhat(spec, st)
+    np.testing.assert_array_equal(zhat[0]["weights"], np.ones(3))
+    assert len(zhat[0]["factors"]) == 3
