@@ -166,11 +166,17 @@ def sparse_problem(D=2048, NNZ=10_000_000, R=16, pallas=True,
     return spec, data, state, opts
 
 
-def run_iters_pp(spec, data, state, opts, n_iters, warm_iters=30):
-    """it/s with the pairwise-perturbation MTTKRP accelerator threaded
-    through the loop (models/pairwise.py).  Runs `warm_iters` exact sweeps
-    first (outside the timing) so the factors are in the slow-step regime
-    where PP engages; returns (iters_per_s, pp_active_fraction)."""
+def run_iters_pp(spec, data, state, opts, n_iters, warm_iters=5):
+    """Steady-state it/s of PP-accelerated sweeps (models/pairwise.py).
+
+    This measures the THROUGHPUT of a pairwise-perturbation sweep (dense
+    MXU einsums over cached partials instead of the gather-bound data
+    pass), so the caller's opts should force engagement (pp_start_tol=1.0)
+    and suppress rebuilds (pp_refresh_tol large) — at bench scale the
+    production gating (start 0.02) only engages after hundreds of
+    convergent sweeps, which tests/test_pairwise.py pins separately.
+    Returns (iters_per_s, pp_active_fraction) — the fraction asserts the
+    timed sweeps really ran PP."""
     from matlab_code_tpu.models.pairwise import (
         eligible_pp_datasets, pp_init)
     proxes, reg_fns = build_proxes(spec)
@@ -287,9 +293,11 @@ def main():
     import dataclasses
     spec, data, state, opts = sparse_problem(structured=True)
     it_exact = run_iters(spec, data, state, opts, 40)
-    opts_pp = dataclasses.replace(opts, cp_pairwise_perturbation=True)
+    opts_pp = dataclasses.replace(opts, cp_pairwise_perturbation=True,
+                                  pp_start_tol=1.0, pp_refresh_tol=1e9)
     it_pp, act = run_iters_pp(spec, data, state, opts_pp, 40)
     print(f"# PP active fraction during timed sweeps: {act:.2f}")
+    assert act > 0.9, "PP bench must measure PP-active sweeps"
     print(json.dumps({"metric": "aoadmm_iters_per_s_sparse_10Mnnz_pp",
                       "value": round(it_pp, 2), "unit": "outer_iters/s",
                       "vs_baseline": round(it_pp / it_exact, 2)}))

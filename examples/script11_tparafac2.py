@@ -20,10 +20,17 @@ from examples.common import run
 FIXTURE_DIR = "/root/reference/functions_for_example_scripts"
 
 
-def run_real(fixture_dir=FIXTURE_DIR, key=11, verbose=True):
+def run_real(fixture_dir=FIXTURE_DIR, key=11, verbose=True,
+             reference_init=False):
     """Replay example_script11 on the shipped .mat fixtures; returns a dict
     with fit (percent, example_script11:146-153), fms_A/B/C
-    (:157-165) and the solver output."""
+    (:157-165) and the solver output.
+
+    reference_init=True replaces the JAX-keyed random init with the
+    BIT-EXACT draw sequence the reference produced after rng("default")
+    (utils/matlab_rng.matlab_init_coupled) — script 11 loads its data from
+    .mat, so the init is its entire post-seed random stream and the whole
+    reference run is replayed on identical inputs."""
     import numpy as np
     import scipy.io as sio
     from matlab_code_tpu import InitOptions
@@ -49,9 +56,14 @@ def run_real(fixture_dir=FIXTURE_DIR, key=11, verbose=True):
     # example_script11:115-117 is commented out)
     data = ProblemData(objects=(Parafac2Tensor.from_list(slices),),
                        coupl_trafo=(None,) * 3, coupl_trafo2=(None,) * 3)
-    init = InitOptions(distr=("rand",) * 3, normalize=False,
-                       lambdas_init=((1,) * R,))  # example_script11:64-68
-    state0 = init_coupled(spec, data, init, key=key)
+    if reference_init:
+        from matlab_code_tpu.utils.matlab_rng import matlab_init_coupled
+        state0 = matlab_init_coupled(spec, distr=("rand",) * 3,
+                                     normalize=False)  # :64-68, rng default
+    else:
+        init = InitOptions(distr=("rand",) * 3, normalize=False,
+                           lambdas_init=((1,) * R,))  # example_script11:64-68
+        state0 = init_coupled(spec, data, init, key=key)
     opts = AlgOptions(MaxOuterIters=6000, MaxInnerIters=5, AbsFuncTol=1e-14,
                       OuterRelTol=1e-8, innerRelPrTol_coupl=1e-4,
                       innerRelPrTol_constr=1e-4, innerRelDualTol_coupl=1e-4,

@@ -144,3 +144,62 @@ def test_script15_truedesign_recovery():
                 scores.append(cong[r, c])
                 break
     assert min(scores) > 0.95, scores
+
+
+def test_matlab_rng_bit_exact():
+    """MatlabRNG reproduces MATLAB's twister rand() streams bit-for-bit:
+    rng("default") anchors (the canonical 0.8147... block, column-major)
+    and 100k-draw equality with an independently-seeded mt19937ar."""
+    from matlab_code_tpu.utils.matlab_rng import MatlabRNG
+    A = MatlabRNG("default").rand(2, 2)
+    np.testing.assert_allclose(
+        A, [[0.814723686393179, 0.126986816293506],
+            [0.905791937075619, 0.913375856139019]], rtol=0, atol=1e-15)
+    # ground truth: numpy's MT19937 core with init_genrand-injected state
+    from numpy.random import MT19937
+    mt = np.empty(624, dtype=np.uint64)
+    mt[0] = 5489
+    for i in range(1, 624):
+        mt[i] = (1812433253 * (mt[i - 1] ^ (mt[i - 1] >> 30)) + i) \
+            & 0xFFFFFFFF
+    bg = MT19937()
+    bg.state = {"bit_generator": "MT19937",
+                "state": {"key": mt.astype(np.uint32), "pos": 624}}
+    raw = bg.random_raw(200000).astype(np.uint64)
+    truth = ((raw[0::2] >> 5) * 67108864.0
+             + (raw[1::2] >> 6)) / 9007199254740992.0
+    np.testing.assert_array_equal(MatlabRNG("default").rand(100000), truth)
+    # stream continuity across call boundaries
+    r1, r2 = MatlabRNG("default"), MatlabRNG("default")
+    a = np.concatenate([r1.rand(7), r1.rand(991), r1.rand(22)])
+    np.testing.assert_array_equal(a, r2.rand(1020))
+
+
+def test_script11_reference_seeded_replay():
+    """FULL reference-seeded replay of example_script11: the shipped .mat
+    data + the BIT-EXACT rng("default") init draw sequence
+    (init_coupled_AOADMM_CMTF.m's order, utils/matlab_rng.py) — the solver
+    runs on byte-identical inputs to the reference MATLAB run.  The
+    trajectory is pinned as a golden (regen: GOLDEN_REGEN=1)."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from examples.script11_tparafac2 import run_real
+
+    res = run_real(fixture_dir=FIX, verbose=False, reference_init=True)
+    # the replayed reference run recovers the shipped ground truth
+    assert res["fms_A"] > 0.99, res["fms_A"]
+    assert res["fms_C"] > 0.99, res["fms_C"]
+    assert res["fms_B"] > 0.95, res["fms_B"]
+    assert res["out"].exit_flag != "maxIterations"
+
+    golden = os.path.join(os.path.dirname(__file__), "golden",
+                          "reference_seeded_script11.npz")
+    traj = np.asarray(res["out"].func_val_conv)
+    if os.environ.get("GOLDEN_REGEN") == "1" or not os.path.exists(golden):
+        np.savez(golden, func_val_conv=traj,
+                 iters=np.asarray(res["out"].OuterIterations))
+    ref = np.load(golden)
+    n = min(len(traj), len(ref["func_val_conv"]))
+    np.testing.assert_allclose(traj[:n], ref["func_val_conv"][:n],
+                               rtol=1e-9, atol=1e-12)
+    assert len(traj) == len(ref["func_val_conv"])
