@@ -230,3 +230,46 @@ def test_mesh_ragged_parafac2_coupled_A():
         distr=["rand", "randn", "randn", "rand", "rand", "rand+0.1"],
         bk_style="orth", key=1)
     _mesh_vs_plain(spec, data, state0)
+
+
+def test_mesh_em_missing_data():
+    """EM imputation (cmtf_fun_AOADMM.m:408-441) under sharding: the
+    imputation WRITES the model into the sharded data tensor every outer
+    iteration — fit(mesh=) must reproduce the plain trajectory including
+    the f_rel_missing stream."""
+    import dataclasses
+    spec = ProblemSpec(
+        mode_sizes=(12, 16, 9, 12, 8),
+        datasets=(DatasetSpec(model="CP", modes=(0, 1, 2), rank=2,
+                              weight=0.5),
+                  DatasetSpec(model="CP", modes=(3, 4), rank=2, weight=0.5)),
+        coupling=CouplingSpec(lin_coupled_modes=(1, 0, 0, 1, 0),
+                              coupling_type=(0,)),
+        constraints=(ConstraintSpec("non-negativity"), None, None,
+                     ConstraintSpec("non-negativity"), None))
+    data, state0 = _build(spec, lambdas=[[1, 1], [1, 1]],
+                          distr=["rand", "randn", "randn", "rand", "randn"])
+    rng = np.random.default_rng(3)
+    miss = tuple(jax.numpy.asarray(
+        rng.uniform(size=np.asarray(data.objects[p]).shape) > 0.2)
+        for p in range(2))                       # True = observed
+    data = dataclasses.replace(data, miss=miss)
+
+    st_ref, out_ref = fit(spec, data, state0, OPTS)
+    mesh = make_mesh(N_DEV)
+    data_sh, sharded_modes = data_shardings(spec, data, mesh)
+    st_sh, out_sh = fit(spec, jax.device_put(data, data_sh),
+                        jax.device_put(state0,
+                                       state_shardings(spec, state0, mesh,
+                                                       sharded_modes)),
+                        OPTS, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(out_sh.func_val_conv),
+                               np.asarray(out_ref.func_val_conv),
+                               rtol=1e-10, atol=1e-13)
+    np.testing.assert_allclose(float(out_sh.f_rel_missing),
+                               float(out_ref.f_rel_missing),
+                               rtol=1e-9, atol=1e-12)
+    for m in range(spec.nb_modes):
+        np.testing.assert_allclose(np.asarray(st_sh.fac[m]),
+                                   np.asarray(st_ref.fac[m]),
+                                   rtol=1e-8, atol=1e-10)
