@@ -26,12 +26,13 @@ from matlab_code_tpu.problem import CP, PAR2
 
 def _setup(spec, lambdas, distr, noise, coupl_trafo, coupl_trafo2,
            init_distr, data_rng, bk_style, mode_post, normalize,
-           miss_fraction=None, miss_rng=1):
+           miss_fraction=None, miss_rng=1, delta_override=None):
     """Shared data-generation + init prologue of run()/run_multistart()."""
     data, Atrue, Delta, _ = create_coupled_data(
         spec, lambdas=lambdas, noise=noise, distr=distr,
         coupl_trafo=coupl_trafo, coupl_trafo2=coupl_trafo2, rng=data_rng,
-        bk_style=bk_style, mode_post=mode_post)
+        bk_style=bk_style, mode_post=mode_post,
+        delta_override=delta_override)
     if normalize:
         data, _ = normalize_data(spec, data)
     if miss_fraction:
@@ -44,10 +45,11 @@ def _setup(spec, lambdas, distr, noise, coupl_trafo, coupl_trafo2,
 def run(spec, lambdas, distr, opts, noise=0.0, coupl_trafo=None,
         coupl_trafo2=None, init_distr=None, key=1, data_rng=0,
         bk_style="shift", mode_post=None, delta_shapes=None, normalize=True,
-        verbose=True, miss_fraction=None, miss_rng=1):
+        verbose=True, miss_fraction=None, miss_rng=1, delta_override=None):
     data, Atrue, Delta, init = _setup(
         spec, lambdas, distr, noise, coupl_trafo, coupl_trafo2, init_distr,
-        data_rng, bk_style, mode_post, normalize, miss_fraction, miss_rng)
+        data_rng, bk_style, mode_post, normalize, miss_fraction, miss_rng,
+        delta_override)
     state0 = init_coupled(spec, data, init, key=key,
                           delta_shapes=delta_shapes)
     zhat, state, _, out = cmtf_aoadmm(spec, data, opts, init=state0)
@@ -60,7 +62,7 @@ def run_multistart(spec, lambdas, distr, opts, n_starts, noise=0.0,
                    coupl_trafo=None, coupl_trafo2=None, init_distr=None,
                    data_rng=0, bk_style="shift", mode_post=None,
                    delta_shapes=None, normalize=True, verbose=True,
-                   keys=None):
+                   keys=None, delta_override=None):
     """Best-of-N random starts via the vmapped fit_multistart (the
     reference's script-15 protocol, example_script15.m:113-135).  With
     keys=range(n_starts) each start reproduces the sequential
@@ -69,7 +71,8 @@ def run_multistart(spec, lambdas, distr, opts, n_starts, noise=0.0,
     from matlab_code_tpu.models.solver import assemble_zhat
     data, Atrue, Delta, init = _setup(
         spec, lambdas, distr, noise, coupl_trafo, coupl_trafo2, init_distr,
-        data_rng, bk_style, mode_post, normalize)
+        data_rng, bk_style, mode_post, normalize,
+        delta_override=delta_override)
     keys = list(keys) if keys is not None else list(range(n_starts))
     best_state, best_out, finals, stops = fit_multistart(
         spec, data, opts, init, n_starts, delta_shapes=delta_shapes,

@@ -5,7 +5,9 @@ permuted/partial 5), all modes nonneg, best of N random starts by minimum
 f_tensors.  The reference's raw EEM_NMR_LCMS.mat is not redistributable
 (example_script15:11, .MISSING_LARGE_BLOBS); this port reproduces the full
 pipeline — selector matrices :47-51, 20 random starts :113-135, options
-:101-108 — on matched synthetic data.
+:101-108 — on synthetic data whose shared sample mode is seeded from the
+experiment's REAL 29x5 chemical design when the shipped TrueDesign.mat
+(example_script15:138) is mounted, with a random design fallback.
 """
 import sys
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
@@ -19,8 +21,29 @@ from examples.common import run
 NN = ConstraintSpec("non-negativity")
 
 
+TRUEDESIGN = "/root/reference/data_for_example15/TrueDesign.mat"
+
+
+def _truedesign_delta():
+    """The REAL 29x5 chemical design (data_for_example15/TrueDesign.mat,
+    loaded by the reference's evaluation at example_script15_realdata.m:138)
+    as the shared sample-mode ground truth, padded with one random extra
+    component to the 6-column Delta the selector matrices expect."""
+    import os
+    if not os.path.exists(TRUEDESIGN):
+        return None
+    import scipy.io as sio
+    D5 = np.asarray(sio.loadmat(TRUEDESIGN)["A"], float)        # (29, 5)
+    D5 = D5 / np.linalg.norm(D5, axis=0, keepdims=True)
+    rng = np.random.default_rng(15)
+    extra = rng.uniform(0.1, 1.0, size=(D5.shape[0], 1))
+    extra /= np.linalg.norm(extra)
+    return np.hstack([D5, extra])                               # (29, 6)
+
+
 def build(small=False):
-    S = 28  # samples
+    design = _truedesign_delta()
+    S = 28 if design is None else design.shape[0]  # samples
     spec = ProblemSpec(
         mode_sizes=(S, 60, 30, S, 80, 16, S, 120),
         datasets=(DatasetSpec(model="CP", modes=(0, 1, 2), rank=3,
@@ -43,7 +66,8 @@ def build(small=False):
     return dict(spec=spec, lambdas=[[1] * 3, [1] * 5, [1] * 5],
                 distr=["rand"] * 8,
                 coupl_trafo=[H0, None, None, H3, None, None, H6, None],
-                opts=opts, noise=0.03)
+                opts=opts, noise=0.03,
+                delta_override=None if design is None else {1: design})
 
 
 def main(n_starts=20, small=False, sequential=False):

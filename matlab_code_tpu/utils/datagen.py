@@ -109,7 +109,8 @@ def _unimodal_bks(sizes, R, rng):
 def create_coupled_data(spec: ProblemSpec, lambdas, noise, distr,
                         coupl_trafo=None, coupl_trafo2=None,
                         normalize_columns=False, rng=0,
-                        bk_style="shift", mode_post=None):
+                        bk_style="shift", mode_post=None,
+                        delta_override=None):
     """Generate coupled ground-truth factors + noisy data.
 
     lambdas[p]: component norms per dataset; noise: scalar or per-dataset;
@@ -118,6 +119,12 @@ def create_coupled_data(spec: ProblemSpec, lambdas, noise, distr,
     mode_post: optional {m: callable(A)->A} post-hooks (e.g. simplex
     normalization of one mode, example5simplex:73-77; piecewise-constant
     factors, example10).
+    delta_override: optional {cid: array} fixing a coupling's ground-truth
+    consensus instead of sampling it — a fixture hook (e.g. script 15's
+    real TrueDesign.mat chemical design as the shared sample mode,
+    example_script15_realdata.m:43-51,138).  Supported for types 0
+    (the shared factor itself), 1 (factors via pinv(H_j) @ Delta), and
+    2/3/4 (Delta is sampled directly there).
 
     Returns (data: ProblemData, Atrue: list per mode, Delta: dict per cid,
     sigma: list per dataset).
@@ -175,31 +182,58 @@ def create_coupled_data(spec: ProblemSpec, lambdas, noise, distr,
                 A[n] = mode_post[n](A[n])
 
     # coupled modes (create_coupled_data.m:78-150, example13:137-151 for type 5)
+    delta_override = delta_override or {}
+
+    def ovr(cid, shape):
+        D = np.asarray(delta_override[cid], np.float64)
+        if D.shape != shape:
+            raise ValueError(
+                f"delta_override[{cid}] has shape {D.shape}, the coupling "
+                f"needs {shape}")
+        return D
+
     for cid in range(1, spec.coupling.n_couplings + 1):
         ctype = spec.coupling.coupling_type[cid - 1]
         cmodes = list(spec.coupled_modes_of(cid))
         mode1 = cmodes[0]
         p1 = spec.which_p(mode1)
         R1 = len(lambdas[p1])
+        if ctype == 5 and cid in delta_override:
+            raise ValueError("delta_override is not supported for type-5 "
+                             "couplings (the truth is derived from a "
+                             "sampled factor there)")
         if ctype == 0:
-            A[mode1] = samp(mode1)(spec.mode_sizes[mode1], R1)
-            if normalize_columns:
-                A[mode1] = _normalize(A[mode1])
+            if cid in delta_override:
+                A[mode1] = ovr(cid, (spec.mode_sizes[mode1], R1))
+            else:
+                A[mode1] = samp(mode1)(spec.mode_sizes[mode1], R1)
+                if normalize_columns:
+                    A[mode1] = _normalize(A[mode1])
             for j in cmodes[1:]:
                 A[j] = A[mode1].copy()
         elif ctype == 1:
-            big = max(cmodes, key=lambda m: spec.mode_sizes[m])
-            A[big] = samp(big)(spec.mode_sizes[big], R1)
-            if normalize_columns:
-                A[big] = _normalize(A[big])
-            Delta[cid] = coupl_trafo[big] @ A[big]
-            for j in cmodes:
-                if j != big:
+            if cid in delta_override:
+                Delta[cid] = ovr(cid, (coupl_trafo[mode1].shape[0], R1))
+                for j in cmodes:
                     A[j] = np.linalg.pinv(coupl_trafo[j]) @ Delta[cid]
+            else:
+                big = max(cmodes, key=lambda m: spec.mode_sizes[m])
+                A[big] = samp(big)(spec.mode_sizes[big], R1)
+                if normalize_columns:
+                    A[big] = _normalize(A[big])
+                Delta[cid] = coupl_trafo[big] @ A[big]
+                for j in cmodes:
+                    if j != big:
+                        A[j] = np.linalg.pinv(coupl_trafo[j]) @ Delta[cid]
         elif ctype == 2:
-            D = samp(mode1)(spec.mode_sizes[mode1], coupl_trafo[mode1].shape[1])
-            if normalize_columns:
-                D = _normalize(D)
+            if cid in delta_override:
+                D = ovr(cid, (spec.mode_sizes[mode1],
+                              coupl_trafo[mode1].shape[1]))
+            else:
+                D = samp(mode1)(spec.mode_sizes[mode1],
+                                coupl_trafo[mode1].shape[1])
+                if normalize_columns:
+                    D = _normalize(D)
             Delta[cid] = D
             for j in cmodes:
                 Aj = np.linalg.lstsq(coupl_trafo[j].T, D.T, rcond=None)[0].T
@@ -210,16 +244,24 @@ def create_coupled_data(spec: ProblemSpec, lambdas, noise, distr,
                         Aj[:, zero] = _normalize(Aj[:, zero])
                 A[j] = Aj
         elif ctype == 3:
-            D = samp(mode1)(coupl_trafo[mode1].shape[1], R1)
-            if normalize_columns:
-                D = _normalize(D)
+            if cid in delta_override:
+                D = ovr(cid, (coupl_trafo[mode1].shape[1], R1))
+            else:
+                D = samp(mode1)(coupl_trafo[mode1].shape[1], R1)
+                if normalize_columns:
+                    D = _normalize(D)
             Delta[cid] = D
             for j in cmodes:
                 A[j] = coupl_trafo[j] @ D
         elif ctype == 4:
-            D = samp(mode1)(spec.mode_sizes[mode1], coupl_trafo[mode1].shape[0])
-            if normalize_columns:
-                D = _normalize(D)
+            if cid in delta_override:
+                D = ovr(cid, (spec.mode_sizes[mode1],
+                              coupl_trafo[mode1].shape[0]))
+            else:
+                D = samp(mode1)(spec.mode_sizes[mode1],
+                                coupl_trafo[mode1].shape[0])
+                if normalize_columns:
+                    D = _normalize(D)
             Delta[cid] = D
             for j in cmodes:
                 A[j] = D @ coupl_trafo[j]

@@ -203,3 +203,32 @@ def test_script11_reference_seeded_replay():
     np.testing.assert_allclose(traj[:n], ref["func_val_conv"][:n],
                                rtol=1e-9, atol=1e-12)
     assert len(traj) == len(ref["func_val_conv"])
+
+
+def test_script15_example_seeds_from_truedesign():
+    """examples/script15 builds its synthetic ground truth from the REAL
+    TrueDesign.mat design when mounted (delta_override fixture hook)."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from examples.script15_realdata import build, _truedesign_delta
+    design = _truedesign_delta()
+    assert design is not None and design.shape == (29, 6)
+    cfg = build(small=True)
+    assert cfg["spec"].mode_sizes[0] == 29
+    np.testing.assert_array_equal(cfg["delta_override"][1], design)
+    # the generated data really carries the design as the coupled truth
+    from matlab_code_tpu.utils.datagen import create_coupled_data
+    data, Atrue, Delta, _ = create_coupled_data(
+        cfg["spec"], lambdas=cfg["lambdas"], noise=0.0,
+        distr=cfg["distr"], coupl_trafo=cfg["coupl_trafo"], rng=0,
+        delta_override=cfg["delta_override"])
+    np.testing.assert_array_equal(np.asarray(Delta[1]), design)
+    np.testing.assert_allclose(np.asarray(Atrue[0]),
+                               design @ np.asarray(cfg["coupl_trafo"][0]))
+    # shape mismatch fails eagerly
+    import pytest
+    with pytest.raises(ValueError, match="delta_override"):
+        create_coupled_data(cfg["spec"], lambdas=cfg["lambdas"], noise=0.0,
+                            distr=cfg["distr"],
+                            coupl_trafo=cfg["coupl_trafo"], rng=0,
+                            delta_override={1: design[:5]})
