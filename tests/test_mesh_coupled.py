@@ -273,3 +273,39 @@ def test_mesh_em_missing_data():
         np.testing.assert_allclose(np.asarray(st_sh.fac[m]),
                                    np.asarray(st_ref.fac[m]),
                                    rtol=1e-8, atol=1e-10)
+
+
+def test_mesh_kl_lbfgsb():
+    """KL loss under sharding: the L-BFGS-B inner solver's full-model
+    evaluation + gradient MTTKRP (compute_gen_f_g, cmtf_fun_AOADMM.m:
+    1365-1418) over a mode-sharded data tensor must reproduce the plain
+    trajectory."""
+    spec = ProblemSpec(
+        mode_sizes=(10, 16, 9),
+        datasets=(DatasetSpec(model="CP", modes=(0, 1, 2), rank=2,
+                              loss="KL"),),
+        coupling=CouplingSpec(lin_coupled_modes=(0, 0, 0), coupling_type=()),
+        constraints=(ConstraintSpec("non-negativity"),
+                     ConstraintSpec("non-negativity"),
+                     ConstraintSpec("non-negativity")))
+    data, _, _, _ = create_coupled_data(
+        spec, lambdas=[[25, 25]], noise=0.0, distr=["rand"] * 3, rng=6)
+    init = InitOptions(distr=("rand",) * 3, normalize=False,
+                       lambdas_init=((1, 1),))
+    state0 = init_coupled(spec, data, init, key=5)
+    opts = AlgOptions(MaxOuterIters=8, AbsFuncTol=0.0, OuterRelTol=0.0)
+    st_ref, out_ref = fit(spec, data, state0, opts)
+    mesh = make_mesh(N_DEV)
+    data_sh, sharded_modes = data_shardings(spec, data, mesh)
+    st_sh, out_sh = fit(spec, jax.device_put(data, data_sh),
+                        jax.device_put(state0,
+                                       state_shardings(spec, state0, mesh,
+                                                       sharded_modes)),
+                        opts, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(out_sh.func_val_conv),
+                               np.asarray(out_ref.func_val_conv),
+                               rtol=1e-9, atol=1e-12)
+    for m in range(3):
+        np.testing.assert_allclose(np.asarray(st_sh.fac[m]),
+                                   np.asarray(st_ref.fac[m]),
+                                   rtol=1e-7, atol=1e-9)
