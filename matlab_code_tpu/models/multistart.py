@@ -51,7 +51,7 @@ def _stopping_v(f4_new, f4_old, options):
 
 def fit_multistart(spec: ProblemSpec, data: ProblemData, options: AlgOptions,
                    init_options: InitOptions, n_starts: int, base_key=0,
-                   delta_shapes=None, keys=None):
+                   delta_shapes=None, keys=None, mesh=None):
     """Returns (best_state, best_out, all_f_tensors, stop_iters).
 
     best_out is a full FitOutput of the best start, evaluated at its own
@@ -60,7 +60,15 @@ def fit_multistart(spec: ProblemSpec, data: ProblemData, options: AlgOptions,
     keys: optional explicit per-start init keys (each anything init_coupled
     accepts, e.g. ints); overrides the base_key fold_in scheme so the S
     starts reproduce S sequential `cmtf_aoadmm(..., key=keys[s])` runs
-    exactly (the reference's best-of-N protocol, example_script15.m:113-130).
+    exactly (the reference's best-of-N protocol, example_script15.m:113-135).
+
+    mesh: optional jax.sharding.Mesh — shard the START axis over the mesh
+    (SURVEY §2.3 'one init per device group'): every S-leading pytree leaf
+    is placed with axis 0 partitioned and the problem data replicated, so
+    each device runs its own subset of starts with NO cross-device
+    collectives except the scalar all-stopped reduction.  n_starts must be
+    divisible by the mesh size.  Numbers are identical to the unsharded
+    run (the start lanes never interact).
     """
     if keys is not None:
         keys = list(keys)
@@ -198,6 +206,25 @@ def fit_multistart(spec: ProblemSpec, data: ProblemData, options: AlgOptions,
     it = jnp.int32(1)
     carry = (batched, vdata, grams, colnorms, rho_scale, f4, frm, hist,
              inner_h, lb_h, stopped, illc_l, stop_iter, it, jnp.int32(0))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        from matlab_code_tpu.parallel.sharding import DATA_AXIS
+        n_dev = mesh.devices.size
+        if S % n_dev:
+            raise ValueError(
+                f"n_starts={S} must be divisible by the mesh size {n_dev}")
+
+        def shard_S(x):
+            if x is None:
+                return None
+            spec_ = PartitionSpec(DATA_AXIS, *([None] * (x.ndim - 1)))
+            return jax.device_put(x, NamedSharding(mesh, spec_))
+
+        sharded = tuple(
+            jax.tree_util.tree_map(shard_S, c,
+                                   is_leaf=lambda x: x is None)
+            for c in carry[:13])
+        carry = sharded + carry[13:]
     import time as _time
     t0 = _time.perf_counter()
     for last_it, active in phases:

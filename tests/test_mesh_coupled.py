@@ -309,3 +309,38 @@ def test_mesh_kl_lbfgsb():
         np.testing.assert_allclose(np.asarray(st_sh.fac[m]),
                                    np.asarray(st_ref.fac[m]),
                                    rtol=1e-7, atol=1e-9)
+
+
+def test_mesh_multistart_start_sharded():
+    """fit_multistart(mesh=) shards the START axis over the devices
+    ('one init per device group', SURVEY §2.3) and reproduces the
+    unsharded vmapped run's numbers exactly (start lanes never interact)."""
+    from matlab_code_tpu.models.multistart import fit_multistart
+    spec = ProblemSpec(
+        mode_sizes=(10, 12, 9),
+        datasets=(DatasetSpec(model="CP", modes=(0, 1, 2), rank=2),),
+        coupling=CouplingSpec(lin_coupled_modes=(0, 0, 0), coupling_type=()),
+        constraints=(ConstraintSpec("non-negativity"), None, None))
+    data, _ = _build(spec, lambdas=[[1, 1]],
+                     distr=["rand", "randn", "randn"])
+    init = InitOptions(distr=("rand", "randn", "randn"), normalize=True,
+                       lambdas_init=((1, 1),))
+    opts = AlgOptions(MaxOuterIters=60, AbsFuncTol=1e-10, OuterRelTol=1e-9)
+    st_ref, out_ref, finals_ref, stops_ref = fit_multistart(
+        spec, data, opts, init, n_starts=8, keys=list(range(8)))
+    st_sh, out_sh, finals_sh, stops_sh = fit_multistart(
+        spec, data, opts, init, n_starts=8, keys=list(range(8)),
+        mesh=make_mesh(N_DEV))
+    np.testing.assert_allclose(finals_sh, finals_ref, rtol=1e-10, atol=1e-13)
+    assert stops_sh == stops_ref
+    np.testing.assert_allclose(np.asarray(out_sh.func_val_conv),
+                               np.asarray(out_ref.func_val_conv),
+                               rtol=1e-10, atol=1e-13)
+    for m in range(3):
+        np.testing.assert_allclose(np.asarray(st_sh.fac[m]),
+                                   np.asarray(st_ref.fac[m]),
+                                   rtol=1e-9, atol=1e-11)
+    import pytest
+    with pytest.raises(ValueError, match="divisible"):
+        fit_multistart(spec, data, opts, init, n_starts=6,
+                       keys=list(range(6)), mesh=make_mesh(N_DEV))
