@@ -9,7 +9,11 @@ globalizes data + state with the production shardings
 compares trajectory + final factors against the single-process baseline
 the parent saved to an .npz.  Prints DISTOK on success.
 
-Usage: distributed_worker.py <pid> <nproc> <port> <baseline.npz>
+Usage: distributed_worker.py <pid> <nproc> <port> <baseline.npz> [config]
+
+config: 'flagship' (default, coupled CP+PARAFAC2 type-0) or 'type4' (the
+bench flagship's selector coupling — the normal-equation Delta solve,
+cmtf_fun_AOADMM.m:904-983, over real cross-process collectives).
 """
 import os
 import sys
@@ -18,6 +22,7 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 proc_id, nproc, port, baseline_path = (int(sys.argv[1]), int(sys.argv[2]),
                                        sys.argv[3], sys.argv[4])
+config = sys.argv[5] if len(sys.argv) > 5 else "flagship"
 
 import jax  # noqa: E402
 
@@ -41,7 +46,10 @@ assert len(jax.devices()) == 4 * nproc, jax.devices()
 assert len(jax.local_devices()) == 4
 
 # identical deterministic problem on every process (seeded generators)
-spec, data, state, _ = ge._flagship(I0=16, J1=12, J2=16, K=8, Jb=10, R=3)
+if config == "type4":
+    spec, data, state = ge._type4_problem(4 * nproc)
+else:
+    spec, data, state, _ = ge._flagship(I0=16, J1=12, J2=16, K=8, Jb=10, R=3)
 opts = AlgOptions(MaxOuterIters=40, AbsFuncTol=0.0, OuterRelTol=0.0)
 
 mesh = distributed.make_global_mesh()

@@ -36,10 +36,17 @@ def _free_port():
     return port
 
 
-def test_two_process_fit_matches_single_process(tmp_path):
+@pytest.mark.parametrize("config", ["flagship", "type4"])
+def test_two_process_fit_matches_single_process(tmp_path, config):
     # single-process baseline (this pytest process: 8 virtual devices, but
-    # the un-meshed fit runs on one)
-    spec, data, state, _ = ge._flagship(I0=16, J1=12, J2=16, K=8, Jb=10, R=3)
+    # the un-meshed fit runs on one).  'type4' runs the bench flagship's
+    # selector coupling (normal-equation Delta solve) over real gloo
+    # cross-process collectives.
+    if config == "type4":
+        spec, data, state = ge._type4_problem(8)
+    else:
+        spec, data, state, _ = ge._flagship(I0=16, J1=12, J2=16, K=8,
+                                            Jb=10, R=3)
     opts = AlgOptions(MaxOuterIters=40, AbsFuncTol=0.0, OuterRelTol=0.0)
     st_ref, out_ref = fit(spec, data, state, opts)
     baseline = tmp_path / "baseline.npz"
@@ -64,7 +71,7 @@ def test_two_process_fit_matches_single_process(tmp_path):
         subprocess.Popen(
             [sys.executable, os.path.join(REPO, "tests",
                                           "distributed_worker.py"),
-             str(i), "2", str(port), str(baseline)],
+             str(i), "2", str(port), str(baseline), config],
             env=env, stdout=log_files[i], stderr=subprocess.STDOUT)
         for i in range(2)]
     try:
