@@ -983,19 +983,22 @@ def nvecs_init(Xs, modes, n, r):
 
 
 class OracleKL:
-    """Single uncoupled CP dataset, KL loss, nonneg-constrained modes; the
-    inner factor solves use SCIPY's L-BFGS-B on the identical
+    """Single uncoupled CP dataset, KL / IS / beta loss, nonneg-constrained
+    modes; the inner factor solves use SCIPY's L-BFGS-B on the identical
     compute_gen_f_g objective (cmtf_fun_AOADMM.m:1365-1418) — an
     implementation-independent check of the jitted ops/lbfgsb.py path at
     matched (tight) inner-solution tolerance.  Covers the non-Frobenius
     rho heuristic (:129) including the colnorm-OVERWRITE refresh quirk
     (:151-153: the refreshed value is the squared norm of the LAST column
-    only), the ridge/2 gradient quirk (:1401) and the bsum anchor (:1403)."""
+    only), the ridge/2 gradient quirk (:1401) and the bsum anchor (:1403).
+    fh/gh per loss from cmtf_AOADMM.m:162-189."""
 
     def __init__(self, X, modes, constrained, state, weight=1.0,
                  eps_log=1e-10, ridge=None, bsum_weight=None,
                  lbfgsb_m=5, lbfgsb_maxits=200, lbfgsb_pgtol=1e-10,
-                 lbfgsb_factr=10.0):
+                 lbfgsb_factr=10.0, loss="KL", beta=None):
+        self.loss = loss
+        self.beta = beta
         self.X = np.asarray(X, np.float64)
         self.modes = tuple(modes)
         self.constrained = set(constrained)
@@ -1023,11 +1026,27 @@ class OracleKL:
         eq = ",".join(f"{s}r" for s in sub) + "->" + sub
         return np.einsum(eq, *facs, optimize=True), facs
 
+    def _fh(self, M):
+        if self.loss == "KL":
+            return M - self.X * np.log(M + self.eps)
+        if self.loss == "IS":
+            return self.X / (M + self.eps) + np.log(M + self.eps)
+        b = self.beta
+        return (1.0 / b) * M ** b - (1.0 / (b - 1.0)) * self.X * M ** (b - 1)
+
+    def _gh(self, M):
+        if self.loss == "KL":
+            return 1.0 - self.X / (M + self.eps)
+        if self.loss == "IS":
+            return -self.X / (M + self.eps) ** 2 + 1.0 / (M + self.eps)
+        b = self.beta
+        return M ** (b - 1.0) - self.X * M ** (b - 2.0)
+
     def _vag(self, xvec, m, rho, constrained):
         x = xvec.reshape(self.fac[m].shape)
         M, facs = self._model(m, x)
-        f = self.w * np.sum(M - self.X * np.log(M + self.eps))
-        Y = 1.0 - self.X / (M + self.eps)
+        f = self.w * np.sum(self._fh(M))
+        Y = self._gh(M)
         local = self.modes.index(m)
         g = self.w * _mttkrp(Y, facs, local).reshape(-1)
         if constrained:
@@ -1077,7 +1096,7 @@ class OracleKL:
 
     def objective(self, znorm):
         M, _ = self._model()
-        f = self.w * (znorm + np.sum(M - self.X * np.log(M + self.eps)))
+        f = self.w * (znorm + np.sum(self._fh(M)))
         if self.ridge is not None:
             for m in range(self.nb):
                 if self.ridge[m]:

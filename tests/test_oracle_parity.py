@@ -659,3 +659,49 @@ def test_oracle_parity_kl():
                      compute_znorm_consts(spec, data, opts), reg_fns, None,
                      options=opts)
     np.testing.assert_allclose(float(vals[0]), f, rtol=1e-6)
+
+
+def test_oracle_parity_is_loss():
+    """Itakura-Saito loss path (cmtf_AOADMM.m:172-181) against the scipy
+    L-BFGS-B oracle — same factor-level per-outer-iteration contract as
+    the KL test."""
+    from matlab_code_tpu.options import LbfgsbOptions
+    from matlab_code_tpu.models.solver import make_outer_step, init_cache
+    from tests.oracle import OracleKL
+
+    spec = ProblemSpec(
+        mode_sizes=(7, 8, 6),
+        datasets=(DatasetSpec(model="CP", modes=(0, 1, 2), rank=2,
+                              loss="IS"),),
+        coupling=CouplingSpec(lin_coupled_modes=(0, 0, 0), coupling_type=()),
+        constraints=(ConstraintSpec("non-negativity"),
+                     ConstraintSpec("non-negativity"),
+                     ConstraintSpec("non-negativity")))
+    data, _, _, _ = create_coupled_data(
+        spec, lambdas=[[3, 3]], noise=0.0, distr=["rand+0.1"] * 3, rng=6)
+    init = InitOptions(distr=("rand+0.1",) * 3, normalize=False,
+                       lambdas_init=((1, 1),))
+    state0 = init_coupled(spec, data, init, key=5)
+    T = 4
+    lopt = LbfgsbOptions(m=5, maxIts=200, maxTotalIts=20000, pgtol=1e-10,
+                         factr=10.0)
+    opts = AlgOptions(MaxOuterIters=T, AbsFuncTol=0.0, OuterRelTol=0.0,
+                      lbfgsb=lopt)
+    proxes, reg_fns = build_proxes(spec)
+    step = make_outer_step(spec, opts, proxes, reg_fns, True)
+    grams, colnorms = init_cache(spec, state0)
+    orc = OracleKL(np.asarray(data.objects[0]), modes=(0, 1, 2),
+                   constrained={0, 1, 2}, state=state0,
+                   eps_log=opts.eps_log, lbfgsb_m=5, lbfgsb_maxits=200,
+                   lbfgsb_pgtol=1e-10, lbfgsb_factr=10.0, loss="IS")
+    state = state0
+    rho_scale = None
+    for t in range(T):
+        state, grams, colnorms, rho_scale, *_ = step(
+            state, data, grams, colnorms, rho_scale)
+        orc.sweep(opts)
+        for m in range(3):
+            a = np.asarray(state.fac[m])
+            b = orc.fac[m]
+            err = np.max(np.abs(a - b)) / np.max(np.abs(b))
+            assert err < 1e-4, (t, m, err)
