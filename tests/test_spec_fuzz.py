@@ -169,3 +169,78 @@ def test_random_spec_short_fit(seed):
     for m in range(spec.nb_modes):
         assert bool(jnp.all(jnp.isfinite(state.fac[m]))), (seed, m)
     assert np.all(np.isfinite(np.asarray(out.func_val_conv))), seed
+
+
+def _mesh_round(spec):
+    """Round the random spec's sizes so the mesh actually shards: CP mode
+    sizes up to a multiple of 8, PARAFAC2 K to 8 — except COUPLED modes,
+    whose sizes are baked into the generated trafo matrices / type-0
+    equal-size rule.  KL datasets are flipped to Frobenius: the L-BFGS-B
+    inner solver's line-search branches legitimately flip under sharded
+    reduction order at the default loose pgtol (both iterate paths valid),
+    so bitwise mesh-equality is a property of the CLOSED-FORM paths only —
+    the KL mesh contract is pinned separately at matched tolerance
+    (test_mesh_coupled.py::test_mesh_kl_lbfgsb)."""
+    import dataclasses
+    spec = dataclasses.replace(
+        spec, datasets=tuple(
+            dataclasses.replace(ds, loss="Frobenius", loss_param=None)
+            for ds in spec.datasets))
+    sizes = list(spec.mode_sizes)
+    for ds in spec.datasets:
+        if ds.model == "PAR2":
+            J = sizes[ds.modes[1]][0]
+            sizes[ds.modes[1]] = (J,) * 8
+            sizes[ds.modes[2]] = 8
+        else:
+            for m in ds.modes:
+                if spec.coupling.lin_coupled_modes and \
+                        spec.coupling.lin_coupled_modes[m]:
+                    continue
+                sizes[m] = ((sizes[m] + 7) // 8) * 8
+    import dataclasses
+    return dataclasses.replace(spec, mode_sizes=tuple(sizes))
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_spec_mesh_matches_plain(seed):
+    """fit(mesh=) equals the plain fit on RANDOM corners of the
+    models x couplings x constraints space (sizes rounded mesh-divisible) —
+    the property the hand-picked tests in test_mesh_coupled.py pin
+    pointwise."""
+    import jax
+    from matlab_code_tpu.parallel.sharding import (
+        make_mesh, data_shardings, state_shardings)
+    rng = np.random.default_rng(5000 + seed)
+    spec, distr, trafo, trafo2, delta_shapes = _random_spec(rng)
+    spec = _mesh_round(spec)
+    lambdas = [[1] * ds.rank for ds in spec.datasets]
+    data, _, _, _ = create_coupled_data(
+        spec, lambdas=lambdas, noise=0.05, distr=distr, rng=6000 + seed,
+        coupl_trafo=(trafo if any(t is not None for t in trafo) else None),
+        coupl_trafo2=(trafo2
+                      if any(t is not None for t in trafo2) else None))
+    check_data_input(spec, data)
+    if not spec.has_non_frobenius():
+        data, _ = normalize_data(spec, data)
+    init = InitOptions(distr=tuple(distr), normalize=True,
+                       lambdas_init=tuple(tuple(l) for l in lambdas))
+    state0 = init_coupled(spec, data, init, key=seed,
+                          delta_shapes=delta_shapes)
+    opts = AlgOptions(MaxOuterIters=6, AbsFuncTol=0.0, OuterRelTol=0.0)
+    st_ref, out_ref = fit(spec, data, state0, opts)
+    mesh = make_mesh(8)
+    data_sh, sharded_modes = data_shardings(spec, data, mesh)
+    st_sh, out_sh = fit(spec, jax.device_put(data, data_sh),
+                        jax.device_put(state0,
+                                       state_shardings(spec, state0, mesh,
+                                                       sharded_modes)),
+                        opts, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(out_sh.func_val_conv),
+                               np.asarray(out_ref.func_val_conv),
+                               rtol=1e-8, atol=1e-11, err_msg=f"seed {seed}")
+    for m in range(spec.nb_modes):
+        np.testing.assert_allclose(np.asarray(st_sh.fac[m]),
+                                   np.asarray(st_ref.fac[m]),
+                                   rtol=1e-6, atol=1e-8,
+                                   err_msg=f"seed {seed} mode {m}")
