@@ -8,13 +8,31 @@ default seed 5489; the first draw is the canonical 0.814723686393179.
 `MatlabRNG.rand(m, n)` reproduces MATLAB `rand(m,n)` bit-for-bit, including
 the column-major fill order.
 
-MATLAB `randn` (ziggurat) and `poissrnd` are NOT reproduced here, so exact
-replay covers the reference flows whose draws are all `rand`-family: most
-importantly example_script11 (the only script whose DATA ships in this
-environment, noisy_dataset.mat), whose entire post-`rng("default")` draw
-sequence is the initialization — `matlab_init_coupled` replays
-init_coupled_AOADMM_CMTF.m's draw order exactly, yielding the bit-identical
-initial state the reference solver started from.
+MATLAB `randn` (the 'Ziggurat' NormalTransform on the twister stream) is
+reproduced by `MatlabRNG.randn`.  The algorithm was reverse-engineered from
+the generator's published anchor values (MathWorks randn/rng doc examples,
+`rng('default')` then 0.537667139546100, 1.833885014595086,
+-2.258846861003648, 0.862173320368121, ...): each draw consumes TWO 32-bit
+twister words (wA, wB) and uses a 256-region ziggurat with an increasing
+x-table x[0]=0 .. x[255]=r=3.6541528853610088:
+
+    idx = wB >> 24                                  (top 8 bits of wB)
+    U   = ((wA >> 3) << 24 | (wB & 0xFFFFFF)) - 2^52   (signed 53-bit)
+    u   = U / 2^52                                  in (-1, 1)
+    x   = u * W[idx]   with W[i] = x[i+1] (i<255),  W[255] = v/f(r)
+    accept iff |x| < A[idx]  with A[i] = x[i] (i<255), A[255] = r
+
+The x-table is the standard ziggurat table (equal region area
+v = r·f(r) + Φtail(r), f = exp(-x²/2)) computed here in 60-digit precision
+and rounded to doubles; the ten documented anchor draws — including the
+base-strip draw 3.578396939725760 — reproduce to ~1e-15 relative (float64
+rounding), see tests/test_fixture_parity.py.  The REJECTION paths (edge
+wedge and tail, ~1-2% of draws) have no published anchors: they follow the
+canonical Marsaglia-Tsang structure with genrand_res53 uniforms and are NOT
+bit-validated — `slowpath_edge`/`slowpath_tail` count how often a sequence
+hit them, so a replay can assert it stayed on the verified path.
+`poissrnd`/`gamrnd` are not reproduced, so KL/IS noisy-data flows remain
+out of exact-replay scope.
 """
 from __future__ import annotations
 
@@ -96,17 +114,159 @@ class MatlabRNG:
             return vals
         return vals.reshape((m, n), order="F")
 
+    # -- randn: the 'Ziggurat' NormalTransform (see module docstring) -------
+
+    slowpath_edge = 0   # edge-wedge tests taken (canonical, not bit-verified)
+    slowpath_tail = 0   # tail samples taken (canonical, not bit-verified)
+
+    def _randn1(self) -> float:
+        """One normal draw, sequential, including the rejection paths."""
+        W, A, F = _zig_tables()
+        while True:
+            wA, wB = (int(t) for t in self._words(2))
+            idx = wB >> 24
+            u = (((wA >> 3) << 24 | (wB & 0xFFFFFF)) - (1 << 52)) * 2.0**-52
+            x = u * W[idx]
+            if abs(x) < A[idx]:
+                return x
+            if idx == 255:                      # tail: x beyond r
+                self.slowpath_tail += 1
+                r = A[255]
+                while True:
+                    xx = -np.log(self.rand(1)[0]) / r
+                    yy = -np.log(self.rand(1)[0])
+                    if yy + yy >= xx * xx:
+                        return (r + xx) if x > 0 else -(r + xx)
+            else:                               # edge wedge of region idx
+                self.slowpath_edge += 1
+                y = self.rand(1)[0]
+                if F[idx + 1] + y * (F[idx] - F[idx + 1]) \
+                        < np.exp(-0.5 * x * x):
+                    return x
+                # rejected: fall through to a fresh (wA, wB) attempt
+
+    def randn(self, m: int, n: int | None = None):
+        """MATLAB randn(m[,n]) on the twister stream, column-major fill.
+
+        Vectorized over the fast path (bit-validated against the ten
+        documented anchor draws); the rare rejection paths are handled
+        sequentially and counted in slowpath_edge/slowpath_tail.
+        """
+        cnt = m if n is None else m * n
+        W, A, _ = _zig_tables()
+        vals = np.empty(cnt)
+        i = 0
+        while i < cnt:
+            take = min(cnt - i, 4096)
+            snap = (self._mt.copy(), self._pos)
+            w = self._words(2 * take).astype(np.uint64)
+            wA, wB = w[0::2], w[1::2]
+            idx = (wB >> np.uint64(24)).astype(np.int64)
+            U = (((wA >> np.uint64(3)) << np.uint64(24))
+                 | (wB & np.uint64(0xFFFFFF))).astype(np.int64) - (1 << 52)
+            x = U.astype(np.float64) * 2.0**-52 * W[idx]
+            bad = np.nonzero(~(np.abs(x) < A[idx]))[0]
+            if bad.size == 0:
+                vals[i:i + take] = x
+                i += take
+                continue
+            j = int(bad[0])
+            vals[i:i + j] = x[:j]
+            i += j
+            self._mt, self._pos = snap           # rewind, then skip the
+            self._words(2 * j)                   # j accepted fast pairs
+            vals[i] = self._randn1()
+            i += 1
+        if n is None:
+            return vals
+        return vals.reshape((m, n), order="F")
+
+
+
+# --- MATLAB randn (ziggurat) tables -----------------------------------------
+# x[0..255] of the 256-region ziggurat (increasing; x[255] = r), solved to
+# 60 digits with the closure v/x[1] + f(x[1]) = 1 and rounded to float64;
+# r = 3.65415288536100877... matches the published ZIGGURAT_NOR_R constant.
+_ZIG_XS_HEX = (
+    "000000000000000002f7fde30b8dcb3fc65b2c3caf50d23f713b4438b97cd53f1aa72fe8fc01d83fcbd04c2e0c23da3f"
+    "0762382f4d00dc3f8172745a2facdd3fd0d54c2d4832df3fb4bb8e27324de03f4a5d023b05f5e03f7d364197a692e13f"
+    "fa1a7a8fa227e23f85d863382eb5e23ffa9157c03f3ce33f34b1a2c19ebde33f5a9bff8def39e43fadfe3d36bbb1e43f"
+    "79d31a627525e53f9cce07a78095e53ff17ed9cf3102e63f447ca361d26be63f76050092a2d2e63fadf846d3da36e73f"
+    "7e2ab310ad98e73f49f546ad45f8e73f7d0a4353cc55e83f9f767b9e64b1e83f9ecf4ea92e0be93ff01e2c824763e93f"
+    "4dc5388ec9b9e93f31a7a4dccc0eea3f5fcd776d6762ea3f3616106eadb4ea3fa26c136db105eb3f2f7a42878455eb3f"
+    "409f528e36a4eb3f3982bf2ad6f1eb3ff84e59f9703eec3f663b32a5138aec3f8f2672fec9d4ec3f4bb7800e9f1eed3f"
+    "141fe4299d67ed3fc8b82300ceafed3f5676f1a93af7ed3f02eed2b5eb3dee3f046f7a33e983ee3fd282f9bd3ac9ee3f"
+    "2a62f084e70def3f8cf6d854f651ef3fb2d7879e6d95ef3fb12efa7d53d8ef3fee3442e0560df03f9d8f39f5402ef03f"
+    "ffa5169eea4ef03f14a0725b566ff03f0ff47190868ff03f1661bc847daff03f83cc4b663dcff03f6f08164bc8eef03f"
+    "f1159532200ef13fc10f3107472df13f43918e9f3e4cf13f2020c4bf086bf13f37da781aa789f13f8b6dee511ba8f13f"
+    "cf2af8f866c6f13f31d4e0938be4f13fa3a040998a02f23fecc6c4726520f23f22c3e97d1d3ef23ffe6ba90cb45bf23f"
+    "81d31d662a79f23f1dd719c78196f23fdb2eb862bbb3f23f55b8e162d8d0f23f90a9cbe8d9edf23fda486e0dc10af33f"
+    "33b9f4e18e27f33fa45e26704444f33fd752cabae260f33f6c5805be6a7df33f67b2b26fdd99f33f063db8bf3bb6f33f"
+    "e31d569886d2f33f855a72debeeef33f769ee071e50af43f5f74a62dfb26f43fa6303ce80043f43f5ec7ca73f75ef43f"
+    "38c3669edf7af43f308f4832ba96f43f5e4102f687b2f43fdd11b3ac49cef43f06a6381600eaf43f63555eefab05f53f"
+    "5c8b0af24d21f53f50666ad5e63cf53fc9b21b4e7758f53f795f550e0074f53f15850ec6818ff53f5a1b2423fdaaf53f"
+    "3f737dd172c6f53fd48c2f7be3e1f53f395e9fc84ffdf53fc51fa360b818f63fa4b0a2e81d34f63f0d26b704814ff63f"
+    "7496c957e26af63f3931b1834286f63fb3b25029a2a1f63fbd43b3e801bdf63f54d3286162d8f63f56f86131c4f3f63f"
+    "ec688bf7270ff73fc71469518e2af73fddee70dcf745f73f2073e5356561f73f4af4effad67cf73f94bdbac84d98f73f"
+    "0a148b3ccab3f73ffc22dbf34ccff73fe7de738cd6eaf73f1fea86a46706f83f7786c8da0022f83f169f89cea23df83f"
+    "bef5d11f4e59f83fc77e7a6f0375f83f2ef7475fc390f83f44c005928eacf83f9d0ca1ab65c8f83f286a445149e4f83f"
+    "91b573293a00f93f498328dc381cf93ffe0aef124638f93f8ba203796254f93fefd570bb8e70f93f332a2e89cb8cf93f"
+    "c1993f9319a9f93f2ed9d58c79c5f93f14746f2bece1f93f4dd2fa2672fef93f9636f9390c1bfa3f5ec8a221bb37fa3f"
+    "8bbb0b9e7f54fa3fa7a94a725a71fa3f3f31a0644c8efa3f0af19f3e56abfa3fcff55acd78c8fa3f38b38be1b4e5fa3f"
+    "1ba1c34f0b03fb3f5c989af07c20fb3f010ce0a00a3efb3f043dce41b55bfb3f28893fb97d79fb3f3df7e5f16497fb3f"
+    "6e2585db6bb5fb3fa2c02e6b93d3fb3f82ae819bdcf1fb3fa016ec6c4810fc3f2d7af0e5d72efc3f1d0d6e138c4dfc3f"
+    "0587ec08666cfc3f17a6ebe0668bfc3faba236bd8faafc3f90d63bc7e1c9fc3f37e068305ee9fc3f6e8f8b320609fd3f"
+    "20ef3710db28fd3f47c63315de48fd3f23f1e7961069fd3fa4fbd7f47389fd3f6e6e209909aafd3f0c49fcf8d2cafd3f"
+    "342e5295d1ebfd3f19d249fb060dfe3ff346eac4742efe3f86d1c1991c50fe3f23fe972f0072fe3f09bf2a4b2194fe3f"
+    "086ff7c081b6fe3f3aa7107623d9fe3fa9ec016108fcfe3f2153c28a321fff3f6d4db70fa442ff3f6801c9205f66ff3f"
+    "82978904668aff3fbf227118bbaeff3f85e72fd260d3ff3f0bf618c159f8ff3f75a0d347d40e004047c98f02a8210040"
+    "ab02a983a9340040c7f53e4eda4700407eb3adf63b5b00406926a723d06e0040182e638f9882004055a2e80897960040"
+    "c5c07175cdaa004049d4eed13dbf0040323daa34ead30040946511cfd4e80040b89fa6effffd0040437020046e130140"
+    "375dbb9b212901406f09c4691d3f01403d2e604864550140f5ee9d3bf96b01406212d274df820140adeb4e561a9a0140"
+    "8f2f7f77adb1014095a671a99cc9014039aee4fbebe1014001d9e2c29ffa014082cc049dbc130240efd36f7a472d0240"
+    "249caca445470240e05876c7bc6102402e59a8fab27c0240780e77cd2e980240530a2a5337b4024097db9631d4d00240"
+    "f578a9b10dee0240eeae56d2ec0b0340a3a4685e7b2a0340a312ae05c449034040a8337ad26903400a415692b38a0340"
+    "fa88ae7075ac0340a60417b327cf034075f460aadbf20340dbe5b99ca4170440945e5415983d0440163aa744ce640440"
+    "bd439c75628d0440285a6b9d73b704400389cd0d25e3044042ace9539f100540437e3a52114005401ce44aa9b1710540"
+    "d98d718bc0a50540fed03a248adc05404b1e86cf69160640ea6a007bce530640c2e59fbe4095064031e2098d6bdb0640"
+    "337a5ff02827074072060956957907408bced6f42dd4074033f2290503390840147caabf0fab084096446f94e02e0940"
+    "aa574001eecb094059779478dc8f0a40b0fd78381f980b4033ad0982b43b0d40"
+)
+_ZIG_WI255 = 3.910757959524916   # v / f(r): base-strip width multiplier
+
+
+def _zig_tables():
+    """(W, A, F): per-index multiplier, accept bound, and f(x[i]) table."""
+    global _ZIG_CACHE
+    try:
+        return _ZIG_CACHE
+    except NameError:
+        pass
+    xs = np.frombuffer(bytes.fromhex("".join(_ZIG_XS_HEX.split())),
+                       dtype="<f8").copy()
+    W = np.empty(256)
+    W[:255] = xs[1:256]
+    W[255] = _ZIG_WI255
+    A = np.empty(256)
+    A[:255] = xs[:255]
+    A[255] = xs[255]                  # r: beyond it -> tail sample
+    F = np.exp(-0.5 * xs * xs)        # f at x[i] (edge-wedge test)
+    _ZIG_CACHE = (W, A, F)
+    return _ZIG_CACHE
 
 def _draw(rng: MatlabRNG, distr, m, n):
-    """Reference distr handles that are rand-family: 'rand' or 'rand+c'
-    (e.g. example_script11:66 @(x,y) rand(x,y); script-8 style rand+0.1)."""
+    """Reference distr handles: 'rand', 'rand+c' (e.g. example_script11:66
+    @(x,y) rand(x,y); script-8 style rand+0.1), or 'randn'
+    (e.g. example_script1:47 @(x,y) randn(x,y))."""
     if distr == "rand":
         return rng.rand(m, n)
+    if distr == "randn":
+        return rng.randn(m, n)
     if isinstance(distr, str) and distr.startswith("rand+"):
         return rng.rand(m, n) + float(distr[5:])
     raise ValueError(
-        f"matlab_init_coupled can only replay rand-family draws, got "
-        f"{distr!r} (MATLAB randn is ziggurat-based and not reproduced)")
+        f"matlab_init_coupled can only replay rand/randn-family draws, "
+        f"got {distr!r}")
 
 
 def matlab_init_coupled(spec, distr, normalize=False, delta_shapes=None,
