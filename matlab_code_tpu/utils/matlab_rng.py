@@ -269,8 +269,117 @@ def _draw(rng: MatlabRNG, distr, m, n):
         f"got {distr!r}")
 
 
+def matlab_create_coupled_data(spec, distr, lambdas, noise=0.0,
+                               normalize_columns=False, rng=None,
+                               seed="default", dtype=np.float64):
+    """Bit-exact replay of create_coupled_data.m's random draws.
+
+    Reproduces the reference factory's draw ORDER exactly on a MATLAB
+    twister stream: uncoupled factor matrices in dataset/mode order with
+    the shift-PARAFAC Bk built from one draw (create_coupled_data.m:55-75),
+    type-0 coupled factors drawn in coupling-id order (:85-94), then the
+    data blocks with their noise tensors — the CP noise randn(size(X)) and
+    the per-slice PAR2 randn(size(Xk)) are drawn COLUMN-MAJOR and consumed
+    even at noise level 0, exactly as MATLAB does (:160-162, :175-181), so
+    the stream position after this call matches the reference's when
+    init_coupled_AOADMM_CMTF runs next (pass the returned rng to
+    matlab_init_coupled).
+
+    Scope: Frobenius losses, coupling types limited to 0 (the trafo-matrix
+    types 1-5 draw through pinv/lstsq paths not yet replayed), regular
+    shift-PARAFAC2 slices.  Returns (data: ProblemData, Atrue, rng).
+    """
+    from matlab_code_tpu.problem import PAR2, ProblemData, Parafac2Tensor
+    import jax.numpy as jnp
+
+    rng = MatlabRNG(seed) if rng is None else rng
+    nb = spec.nb_modes
+    P = len(spec.datasets)
+    noise = [noise] * P if np.isscalar(noise) else list(noise)
+    A = [None] * nb
+
+    def norm_cols(M):
+        return M / np.linalg.norm(M, axis=0, keepdims=True)
+
+    # uncoupled factor matrices (create_coupled_data.m:55-75)
+    for p, ds in enumerate(spec.datasets):
+        if ds.loss != "Frobenius":
+            raise NotImplementedError(
+                "matlab_create_coupled_data replays Frobenius flows only "
+                "(poissrnd/gamrnd are not reproduced)")
+        R = len(lambdas[p])
+        for n in ds.modes:
+            if spec.coupling_id(n) != 0:
+                continue
+            if ds.model == PAR2 and ds.modes.index(n) == 1:
+                sizes = spec.par2_slice_sizes(p)
+                if len(set(sizes)) > 1:
+                    raise NotImplementedError(
+                        "shift-PARAFAC replay needs equal slice sizes "
+                        "(create_coupled_data.m:64-72)")
+                AA = _draw(rng, distr[n], sizes[0], R)
+                if normalize_columns:
+                    AA = norm_cols(AA)
+                A[n] = [np.roll(AA, k, axis=0) for k in range(len(sizes))]
+            else:
+                An = _draw(rng, distr[n], spec.mode_sizes[n], R)
+                if normalize_columns:
+                    An = norm_cols(An)
+                A[n] = An
+
+    # coupled modes (create_coupled_data.m:78-94; type 0 only)
+    for cid in range(1, spec.coupling.n_couplings + 1):
+        ctype = spec.coupling.coupling_type[cid - 1]
+        if ctype != 0:
+            raise NotImplementedError(
+                "matlab_create_coupled_data replays type-0 couplings only")
+        cmodes = list(spec.coupled_modes_of(cid))
+        mode1 = cmodes[0]
+        p1 = spec.which_p(mode1)
+        A[mode1] = _draw(rng, distr[mode1], spec.mode_sizes[mode1],
+                         len(lambdas[p1]))
+        if normalize_columns:
+            A[mode1] = norm_cols(A[mode1])
+        for j in cmodes[1:]:
+            A[j] = A[mode1].copy()
+
+    # data blocks + noise (create_coupled_data.m:152-183); MATLAB randn(sz)
+    # fills column-major and is drawn even when the noise level is 0
+    X = [None] * P
+    for p, ds in enumerate(spec.datasets):
+        lam = np.asarray(lambdas[p], dtype=float)
+        if ds.model == PAR2:
+            C = A[ds.modes[2]]
+            Bks = A[ds.modes[1]]
+            slices = []
+            for k in range(C.shape[0]):
+                Mk = A[ds.modes[0]] @ np.diag(lam * C[k]) @ Bks[k].T
+                Nk = rng.randn(Mk.size).reshape(Mk.shape, order="F")
+                s = noise[p] * np.linalg.norm(Mk) / np.linalg.norm(Nk)
+                slices.append(Mk + s * Nk)
+            X[p] = slices
+        else:
+            facs = [A[n] for n in ds.modes]
+            subs = "abcdef"[: len(facs)]
+            eq = ",".join(f"{s}r" for s in subs) + ",r->" + subs
+            M = np.einsum(eq, *facs, lam)
+            N = rng.randn(M.size).reshape(M.shape, order="F")
+            s = noise[p] * np.linalg.norm(M) / np.linalg.norm(N)
+            X[p] = M + s * N
+
+    objects = []
+    for p, ds in enumerate(spec.datasets):
+        if ds.model == PAR2:
+            objects.append(Parafac2Tensor.from_list(X[p], dtype=dtype))
+        else:
+            objects.append(jnp.asarray(np.asarray(X[p], dtype=dtype)))
+    data = ProblemData(objects=tuple(objects),
+                       coupl_trafo=(None,) * nb, coupl_trafo2=(None,) * nb)
+    return data, A, rng
+
+
 def matlab_init_coupled(spec, distr, normalize=False, delta_shapes=None,
-                        seed="default", dtype=np.float64):
+                        seed="default", rng=None, dtype=np.float64):
     """Bit-exact replay of init_coupled_AOADMM_CMTF.m's random draws.
 
     Reproduces the reference's draw ORDER exactly (init:46-96 factor
@@ -286,7 +395,7 @@ def matlab_init_coupled(spec, distr, normalize=False, delta_shapes=None,
     from matlab_code_tpu.models.solver import build_proxes
     import jax.numpy as jnp
 
-    rng = MatlabRNG(seed)
+    rng = MatlabRNG(seed) if rng is None else rng
     nb = spec.nb_modes
     P = len(spec.datasets)
     ncpl = len(spec.coupling.coupling_type)

@@ -248,6 +248,42 @@ def test_script11_reference_seeded_replay():
     assert len(traj) == len(ref["func_val_conv"])
 
 
+def test_script1_reference_seeded_replay():
+    """FULL reference-seeded replay of example_script1 (the flagship
+    CP+PAR2 script): data AND init regenerated from one rng("default")
+    twister stream in create_coupled_data.m + init_coupled_AOADMM_CMTF.m
+    draw order — including the noise tensors MATLAB draws even at level 0
+    and the shift-PARAFAC Bk.  Draws are bit-exact on the anchor-verified
+    randn fast path; the run's rejection-path events (canonical
+    implementation, no published anchors) are counted and pinned so any
+    change to that implementation is caught.  Trajectory pinned as a
+    golden (regen: GOLDEN_REGEN=1)."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from examples.script01_cp_par2_nonneg import run_reference
+
+    res = run_reference(verbose=False)
+    # example_script1's expected outcome: Fit -> ~100%, FMS -> ~1 (:131-152)
+    fit_cp, fms_cp = res["report"][0]
+    fit_p2, sA, sB, sC = res["report"][1]
+    assert fit_cp > 99.99 and fit_p2 > 99.99, (fit_cp, fit_p2)
+    assert min(fms_cp, sA, sB, sC) > 0.999, res["report"]
+    assert res["out"].exit_flag != "maxIterations"
+    assert (res["slowpath_edge"], res["slowpath_tail"]) == (554, 7)
+
+    golden = os.path.join(os.path.dirname(__file__), "golden",
+                          "reference_seeded_script1.npz")
+    traj = np.asarray(res["out"].func_val_conv)
+    if os.environ.get("GOLDEN_REGEN") == "1" or not os.path.exists(golden):
+        np.savez(golden, func_val_conv=traj,
+                 iters=np.asarray(res["out"].OuterIterations))
+    ref = np.load(golden)
+    n = min(len(traj), len(ref["func_val_conv"]))
+    np.testing.assert_allclose(traj[:n], ref["func_val_conv"][:n],
+                               rtol=1e-9, atol=1e-12)
+    assert len(traj) == len(ref["func_val_conv"])
+
+
 def test_script15_example_seeds_from_truedesign():
     """examples/script15 builds its synthetic ground truth from the REAL
     TrueDesign.mat design when mounted (delta_override fixture hook)."""
