@@ -42,6 +42,33 @@ def _setup(spec, lambdas, distr, noise, coupl_trafo, coupl_trafo2,
     return data, Atrue, Delta, init
 
 
+def run_reference_seeded(spec, lambdas, distr, opts, noise=0.0,
+                         verbose=True):
+    """FULL reference-seeded replay of an example script whose draws all
+    come from one rng("default") twister stream through
+    create_coupled_data.m + init_coupled_AOADMM_CMTF.m (the scripts using
+    the plain factory with type-0 couplings and rand/randn distrs:
+    1, 2, 6, 8).  Data and init are regenerated with the bit-exact MATLAB
+    draw sequence (utils/matlab_rng.py), data normalized per
+    example_script1:86-103, init normalized per init_options.normalize=1.
+    Returns the run dict plus the randn rejection-path counts (0 = every
+    normal draw took the anchor-verified fast path)."""
+    from matlab_code_tpu.models.solver import cmtf_aoadmm
+    from matlab_code_tpu.utils.matlab_rng import (
+        MatlabRNG, matlab_create_coupled_data, matlab_init_coupled)
+
+    rng = MatlabRNG("default")
+    data, Atrue, rng = matlab_create_coupled_data(
+        spec, distr=distr, lambdas=lambdas, noise=noise, rng=rng)
+    data, _ = normalize_data(spec, data)
+    state0 = matlab_init_coupled(spec, distr=distr, normalize=True, rng=rng)
+    zhat, state, _, out = cmtf_aoadmm(spec, data, opts, init=state0)
+    report = summarize(spec, data, zhat, Atrue, out, verbose=verbose)
+    return dict(zhat=zhat, state=state, out=out, data=data, Atrue=Atrue,
+                report=report, slowpath_edge=rng.slowpath_edge,
+                slowpath_tail=rng.slowpath_tail)
+
+
 def run(spec, lambdas, distr, opts, noise=0.0, coupl_trafo=None,
         coupl_trafo2=None, init_distr=None, key=1, data_rng=0,
         bk_style="shift", mode_post=None, delta_shapes=None, normalize=True,

@@ -39,25 +39,10 @@ def run_reference(verbose=True):
     MATLAB run (example_script1:13,85,107).  Returns the run dict plus the
     randn slow-path counts (0 = every normal draw took the anchor-verified
     fast path; see utils/matlab_rng.py)."""
-    from matlab_code_tpu.models.solver import cmtf_aoadmm
-    from matlab_code_tpu.utils.datagen import normalize_data
-    from matlab_code_tpu.utils.matlab_rng import (
-        MatlabRNG, matlab_create_coupled_data, matlab_init_coupled)
-    from examples.common import summarize
-
+    from examples.common import run_reference_seeded
     cfg = build()
-    spec, opts = cfg["spec"], cfg["opts"]
-    rng = MatlabRNG("default")
-    data, Atrue, rng = matlab_create_coupled_data(
-        spec, distr=cfg["distr"], lambdas=cfg["lambdas"], noise=0.0, rng=rng)
-    data, _ = normalize_data(spec, data)
-    state0 = matlab_init_coupled(spec, distr=cfg["distr"], normalize=True,
-                                 rng=rng)   # init_options.normalize=1 (:48)
-    zhat, state, _, out = cmtf_aoadmm(spec, data, opts, init=state0)
-    report = summarize(spec, data, zhat, Atrue, out, verbose=verbose)
-    return dict(zhat=zhat, state=state, out=out, data=data, Atrue=Atrue,
-                report=report, slowpath_edge=rng.slowpath_edge,
-                slowpath_tail=rng.slowpath_tail)
+    return run_reference_seeded(cfg["spec"], cfg["lambdas"], cfg["distr"],
+                                cfg["opts"], noise=0.0, verbose=verbose)
 
 
 if __name__ == "__main__":

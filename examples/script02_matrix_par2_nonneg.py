@@ -29,5 +29,14 @@ def build(small=False):
                 opts=opts, key=2)
 
 
+def run_reference(verbose=True):
+    """Reference-seeded replay of example_script2 (rng("default") data +
+    init, noise 0.5 per :24; see examples/common.run_reference_seeded)."""
+    from examples.common import run_reference_seeded
+    cfg = build()
+    return run_reference_seeded(cfg["spec"], cfg["lambdas"], cfg["distr"],
+                                cfg["opts"], noise=0.5, verbose=verbose)
+
+
 if __name__ == "__main__":
     run(**build())

@@ -22,11 +22,25 @@ def build(small=False):
                   DatasetSpec(model="CP", modes=(5, 6), rank=3, weight=1 / 3)),
         coupling=CouplingSpec(lin_coupled_modes=(1, 2, 0, 1, 0, 2, 0),
                               coupling_type=(0, 0)),
-        constraints=(NN, NN, None, NN, NN, NN, NN))
+        # constrained_modes = [1 0 0 1 1 1 1] (example_script6:59) GATES the
+        # constraints cell: the nonneg spec at constraints{2} (:64) is
+        # inactive in the reference, so mode 1 here is unconstrained
+        constraints=(NN, None, None, NN, NN, NN, NN))
     opts = AlgOptions(MaxOuterIters=400 if small else 4000, MaxInnerIters=5,
                       AbsFuncTol=1e-7, OuterRelTol=1e-8)
     return dict(spec=spec, lambdas=[[1, 1, 1]] * 3, distr=["rand"] * 7,
                 opts=opts, key=2)
+
+
+def run_reference(verbose=True):
+    """Reference-seeded replay of example_script6 (rng("default") data +
+    init, noise 0.2 per :29, the reference's exact distr with randn on
+    mode 3 per :30; see examples/common.run_reference_seeded)."""
+    from examples.common import run_reference_seeded
+    cfg = build()
+    distr = ["rand", "rand", "randn", "rand", "rand", "rand", "rand"]
+    return run_reference_seeded(cfg["spec"], cfg["lambdas"], distr,
+                                cfg["opts"], noise=0.2, verbose=verbose)
 
 
 if __name__ == "__main__":

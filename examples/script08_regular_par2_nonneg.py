@@ -23,5 +23,14 @@ def build(small=False):
                 distr=["rand", "rand", "rand+0.1"], opts=opts, key=2)
 
 
+def run_reference(verbose=True):
+    """Reference-seeded replay of example_script8 (rng("default") data +
+    init, noise 0.2 per :23; see examples/common.run_reference_seeded)."""
+    from examples.common import run_reference_seeded
+    cfg = build()
+    return run_reference_seeded(cfg["spec"], cfg["lambdas"], cfg["distr"],
+                                cfg["opts"], noise=0.2, verbose=verbose)
+
+
 if __name__ == "__main__":
     run(**build())

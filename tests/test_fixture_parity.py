@@ -284,6 +284,42 @@ def test_script1_reference_seeded_replay():
     assert len(traj) == len(ref["func_val_conv"])
 
 
+@pytest.mark.parametrize("mod,noise_fms,slowpaths", [
+    ("script02_matrix_par2_nonneg", 0.94, (3641, 54)),
+    ("script06_three_datasets", 0.99, (1970, 23)),
+    ("script08_regular_par2_nonneg", 0.98, (4314, 66)),
+])
+def test_reference_seeded_replays(mod, noise_fms, slowpaths):
+    """Reference-seeded replays of the remaining plain-factory type-0
+    scripts (2, 6, 8): data AND init regenerated from one rng("default")
+    twister stream (noisy this time — the noise values themselves are
+    replayed draws).  Ground-truth recovery matches the reference's
+    expected outcome at its noise level; trajectories pinned as goldens;
+    randn rejection-path event counts pinned (canonical slow-path
+    implementation change detector)."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    import importlib
+    m = importlib.import_module(f"examples.{mod}")
+    res = m.run_reference(verbose=False)
+    scores = [s for rep in res["report"].values() for s in
+              (rep[1:] if isinstance(rep, tuple) else [rep[1]])]
+    assert min(scores) > noise_fms, res["report"]
+    assert res["out"].exit_flag != "maxIterations"
+    assert (res["slowpath_edge"], res["slowpath_tail"]) == slowpaths
+
+    golden = os.path.join(os.path.dirname(__file__), "golden",
+                          f"reference_seeded_{mod.split('_')[0]}.npz")
+    traj = np.asarray(res["out"].func_val_conv)
+    if os.environ.get("GOLDEN_REGEN") == "1" or not os.path.exists(golden):
+        np.savez(golden, func_val_conv=traj)
+    ref = np.load(golden)
+    n = min(len(traj), len(ref["func_val_conv"]))
+    np.testing.assert_allclose(traj[:n], ref["func_val_conv"][:n],
+                               rtol=1e-9, atol=1e-12)
+    assert len(traj) == len(ref["func_val_conv"])
+
+
 def test_script15_example_seeds_from_truedesign():
     """examples/script15 builds its synthetic ground truth from the REAL
     TrueDesign.mat design when mounted (delta_override fixture hook)."""
