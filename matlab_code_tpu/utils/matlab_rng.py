@@ -26,11 +26,16 @@ The x-table is the standard ziggurat table (equal region area
 v = r·f(r) + Φtail(r), f = exp(-x²/2)) computed here in 60-digit precision
 and rounded to doubles; the ten documented anchor draws — including the
 base-strip draw 3.578396939725760 — reproduce to ~1e-15 relative (float64
-rounding), see tests/test_fixture_parity.py.  The REJECTION paths (edge
-wedge and tail, ~1-2% of draws) have no published anchors: they follow the
-canonical Marsaglia-Tsang structure with genrand_res53 uniforms and are NOT
-bit-validated — `slowpath_edge`/`slowpath_tail` count how often a sequence
-hit them, so a replay can assert it stayed on the verified path.
+rounding), see tests/test_fixture_parity.py.  The formula matches the
+structure MATLAB Coder emits for mt19937ar normal sampling (a 257-entry
+table indexed (u32[1]>>24)+1, mantissa (u32[0]>>3)*2^24 + (u32[1]&2^24-1),
+accept on |r| <= table[i-1]), which also fixes the REJECTION paths (edge
+wedge and tail, ~1-2% of draws): one genrand_res53 uniform for the wedge
+test f1 + u*(f0-f1) < exp(-r^2/2), and tail attempts x = -log(u1)*(1/r)
+accepted when -2*log(u2) >= x^2, with 1/r the rounded double constant.
+No PUBLISHED anchor exercises those paths, so they are structurally- but
+not anchor-validated — `slowpath_edge`/`slowpath_tail` count how often a
+sequence hit them, making the certainty boundary explicit per replay.
 `poissrnd`/`gamrnd` are not reproduced, so KL/IS noisy-data flows remain
 out of exact-replay scope.
 """
@@ -127,13 +132,13 @@ class MatlabRNG:
             idx = wB >> 24
             u = (((wA >> 3) << 24 | (wB & 0xFFFFFF)) - (1 << 52)) * 2.0**-52
             x = u * W[idx]
-            if abs(x) < A[idx]:
+            if abs(x) <= A[idx]:
                 return x
             if idx == 255:                      # tail: x beyond r
                 self.slowpath_tail += 1
                 r = A[255]
                 while True:
-                    xx = -np.log(self.rand(1)[0]) / r
+                    xx = -np.log(self.rand(1)[0]) * _ZIG_INV_R
                     yy = -np.log(self.rand(1)[0])
                     if yy + yy >= xx * xx:
                         return (r + xx) if x > 0 else -(r + xx)
@@ -165,7 +170,7 @@ class MatlabRNG:
             U = (((wA >> np.uint64(3)) << np.uint64(24))
                  | (wB & np.uint64(0xFFFFFF))).astype(np.int64) - (1 << 52)
             x = U.astype(np.float64) * 2.0**-52 * W[idx]
-            bad = np.nonzero(~(np.abs(x) < A[idx]))[0]
+            bad = np.nonzero(~(np.abs(x) <= A[idx]))[0]
             if bad.size == 0:
                 vals[i:i + take] = x
                 i += take
@@ -233,6 +238,7 @@ _ZIG_XS_HEX = (
     "aa574001eecb094059779478dc8f0a40b0fd78381f980b4033ad0982b43b0d40"
 )
 _ZIG_WI255 = 3.910757959524916   # v / f(r): base-strip width multiplier
+_ZIG_INV_R = 0.27366123732975828  # 1/r: tail sampling multiplier constant
 
 
 def _zig_tables():
