@@ -43,7 +43,8 @@ def _setup(spec, lambdas, distr, noise, coupl_trafo, coupl_trafo2,
 
 
 def run_reference_seeded(spec, lambdas, distr, opts, noise=0.0,
-                         verbose=True):
+                         verbose=True, init_distr=None,
+                         normalize_columns=False, post_uncoupled=None):
     """FULL reference-seeded replay of an example script whose draws all
     come from one rng("default") twister stream through
     create_coupled_data.m + init_coupled_AOADMM_CMTF.m (the scripts using
@@ -59,9 +60,11 @@ def run_reference_seeded(spec, lambdas, distr, opts, noise=0.0,
 
     rng = MatlabRNG("default")
     data, Atrue, rng = matlab_create_coupled_data(
-        spec, distr=distr, lambdas=lambdas, noise=noise, rng=rng)
+        spec, distr=distr, lambdas=lambdas, noise=noise, rng=rng,
+        normalize_columns=normalize_columns, post_uncoupled=post_uncoupled)
     data, _ = normalize_data(spec, data)
-    state0 = matlab_init_coupled(spec, distr=distr, normalize=True, rng=rng)
+    state0 = matlab_init_coupled(spec, distr=init_distr or distr,
+                                 normalize=True, rng=rng)
     zhat, state, _, out = cmtf_aoadmm(spec, data, opts, init=state0)
     report = summarize(spec, data, zhat, Atrue, out, verbose=verbose)
     return dict(zhat=zhat, state=state, out=out, data=data, Atrue=Atrue,

@@ -40,5 +40,35 @@ def build(small=False):
                 key=2, noise=0.05)
 
 
+def run_reference(verbose=True):
+    """Reference-seeded replay of example_script10: rng("default") data +
+    init with the piecewise-constant overwrite of
+    create_CP_data_example10piecewiseconstant.m:78-89 replayed draw-for-
+    draw (randi jump points + uniform levels between the uncoupled and
+    coupled phases), noise 0.8 (:27), normalize_columns=1 (:29).  The
+    l2-ball/TV prox applications in the aux init pass through this
+    framework's kernels, so those aux variables match MATLAB's to float64
+    rounding rather than bitwise; the factor draws themselves are
+    bit-exact."""
+    from examples.common import run_reference_seeded
+    cfg = build()
+
+    def piecewise_matlab(A, rng):
+        # jumps = [1; sort(randi(60,4,1)); 60]; values = -1+2*rand(5,1)
+        n, R = A[0].shape
+        for r in range(R):
+            jumps = np.concatenate(
+                [[1], np.sort(rng.randi(n, 4)), [n]]).astype(int)
+            vals = -1.0 + 2.0 * rng.rand(5)
+            for i in range(5):
+                A[0][jumps[i] - 1:jumps[i + 1], r] = vals[i]
+        A[0] /= np.linalg.norm(A[0], axis=0, keepdims=True)  # :86-89
+
+    return run_reference_seeded(
+        cfg["spec"], cfg["lambdas"], ["randn", "randn", "randn"],
+        cfg["opts"], noise=0.8, verbose=verbose, normalize_columns=True,
+        post_uncoupled=piecewise_matlab)
+
+
 if __name__ == "__main__":
     run(**build())

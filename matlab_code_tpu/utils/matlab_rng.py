@@ -119,6 +119,15 @@ class MatlabRNG:
             return vals
         return vals.reshape((m, n), order="F")
 
+    def randi(self, imax: int, m: int, n: int | None = None):
+        """MATLAB randi(imax, m[, n]): 1 + floor(imax*rand), column-major.
+
+        The scaling construction is pinned by the randi doc anchor
+        (rng default, randi(10,1,5) -> 9 10 2 10 7 = the canonical rand
+        stream 0.8147... scaled)."""
+        v = np.floor(imax * self.rand(m, n)).astype(np.int64) + 1
+        return np.minimum(v, imax)      # guard the rand()==1-ulp edge
+
     # -- randn: the 'Ziggurat' NormalTransform (see module docstring) -------
 
     slowpath_edge = 0   # edge-wedge tests taken (canonical, not bit-verified)
@@ -277,7 +286,8 @@ def _draw(rng: MatlabRNG, distr, m, n):
 
 def matlab_create_coupled_data(spec, distr, lambdas, noise=0.0,
                                normalize_columns=False, rng=None,
-                               seed="default", dtype=np.float64):
+                               seed="default", dtype=np.float64,
+                               post_uncoupled=None):
     """Bit-exact replay of create_coupled_data.m's random draws.
 
     Reproduces the reference factory's draw ORDER exactly on a MATLAB
@@ -292,8 +302,13 @@ def matlab_create_coupled_data(spec, distr, lambdas, noise=0.0,
     matlab_init_coupled).
 
     Scope: Frobenius losses, coupling types limited to 0 (the trafo-matrix
-    types 1-5 draw through pinv/lstsq paths not yet replayed), regular
-    shift-PARAFAC2 slices.  Returns (data: ProblemData, Atrue, rng).
+    types 1-5 draw through MATLAB pinv/orth whose LAPACK last-ulp behavior
+    is not reproducible here), regular shift-PARAFAC2 slices.
+    post_uncoupled(A, rng): optional draw-consuming hook run between the
+    uncoupled and coupled phases — the insertion point of the specialized
+    generators' extra draws (e.g. the piecewise-constant overwrite of
+    create_CP_data_example10piecewiseconstant.m:78-89).
+    Returns (data: ProblemData, Atrue, rng).
     """
     from matlab_code_tpu.problem import PAR2, ProblemData, Parafac2Tensor
     import jax.numpy as jnp
@@ -332,6 +347,9 @@ def matlab_create_coupled_data(spec, distr, lambdas, noise=0.0,
                 if normalize_columns:
                     An = norm_cols(An)
                 A[n] = An
+
+    if post_uncoupled is not None:
+        post_uncoupled(A, rng)
 
     # coupled modes (create_coupled_data.m:78-94; type 0 only)
     for cid in range(1, spec.coupling.n_couplings + 1):

@@ -191,6 +191,10 @@ def test_matlab_randn_anchors():
     v = r.randn(10)
     np.testing.assert_allclose(v, anchors, rtol=1e-13)
     assert r.slowpath_edge == 0 and r.slowpath_tail == 0
+    # randi doc anchor: rng default, randi(10,1,5) -> 9 10 2 10 7
+    np.testing.assert_array_equal(
+        MatlabRNG("default").randi(10, 1, 5).ravel(order="F"),
+        [9, 10, 2, 10, 7])
     # column-major fill shares the stream semantics with rand
     M = MatlabRNG("default").randn(2, 2)
     np.testing.assert_array_equal(M.ravel(order="F"), v[:4])
@@ -288,6 +292,9 @@ def test_script1_reference_seeded_replay():
     ("script02_matrix_par2_nonneg", 0.94, (3641, 54)),
     ("script06_three_datasets", 0.99, (1970, 23)),
     ("script08_regular_par2_nonneg", 0.98, (4314, 66)),
+    # script 10: bit-exact draws incl. the piecewise randi/rand overwrite;
+    # TV/l2-ball aux-init proxes match MATLAB to float64 rounding only
+    ("script10_cp_tv", 0.99, (3190, 45)),
 ])
 def test_reference_seeded_replays(mod, noise_fms, slowpaths):
     """Reference-seeded replays of the remaining plain-factory type-0
