@@ -171,7 +171,11 @@ class MatlabRNG:
         vals = np.empty(cnt)
         i = 0
         while i < cnt:
-            take = min(cnt - i, 4096)
+            # ~1.5% of draws reject, so the expected first rejection sits
+            # near draw 65 — a large chunk would be recomputed almost
+            # entirely after every rewind.  256 keeps the vector work ~4x
+            # the accepted draws while amortizing the python overhead.
+            take = min(cnt - i, 256)
             snap = (self._mt.copy(), self._pos)
             w = self._words(2 * take).astype(np.uint64)
             wA, wB = w[0::2], w[1::2]
