@@ -31,5 +31,36 @@ def build(small=False):
                 opts=opts, key=2 if small else 0, bk_style="unimodal")
 
 
+def run_reference(verbose=True):
+    """Reference-seeded replay of example_script9: rng("default") data +
+    init with create_coupled_data_unimodalBks.m's draw order — the Bk mode
+    consumes a discarded rand(50,3) draw (:59) before being REPLACED by
+    the deterministic shifted normpdf bumps (:66-80, zero draws), then the
+    0.2-level per-slice noise.  The bump values go through exp/linspace,
+    so the data matches MATLAB to float64 rounding; every random draw is
+    bit-exact.  Reference options: 2000 outer iters, delayed Bk constraint
+    at 100, rho_Bk x10 (example_script9:108-123)."""
+    import numpy as np
+    from matlab_code_tpu import AlgOptions
+    from examples.common import run_reference_seeded
+    cfg = build()
+    K, J, R = 15, 50, 3
+
+    def unimodal_matlab(A, rng):
+        x = np.linspace(-10.0, 10.0, J)
+        AA = np.stack([np.exp(-0.5 * ((x - (-7.0 + 7.0 * r)) / 0.8) ** 2)
+                       / (0.8 * np.sqrt(2.0 * np.pi)) for r in range(R)],
+                      axis=1)
+        A[1] = [np.roll(AA, k, axis=0) for k in range(K)]
+
+    opts = AlgOptions(MaxOuterIters=2000, MaxInnerIters=20,
+                      AbsFuncTol=1e-7, OuterRelTol=1e-8,
+                      iter_start_PAR2Bkconstraint=100,
+                      increase_factor_rhoBk=10.0)
+    return run_reference_seeded(cfg["spec"], cfg["lambdas"], cfg["distr"],
+                                opts, noise=0.2, verbose=verbose,
+                                post_uncoupled=unimodal_matlab)
+
+
 if __name__ == "__main__":
     run(**build())

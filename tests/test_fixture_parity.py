@@ -295,6 +295,9 @@ def test_script1_reference_seeded_replay():
     # script 10: bit-exact draws incl. the piecewise randi/rand overwrite;
     # TV/l2-ball aux-init proxes match MATLAB to float64 rounding only
     ("script10_cp_tv", 0.99, (3190, 45)),
+    # script 9: bit-exact draws (incl. the discarded Bk draw); the normpdf
+    # bump data matches MATLAB to float64 rounding (exp/linspace)
+    ("script09_par2_unimodality", 0.96, (115, 2)),
 ])
 def test_reference_seeded_replays(mod, noise_fms, slowpaths):
     """Reference-seeded replays of the remaining plain-factory type-0
