@@ -35,8 +35,11 @@ def run_reference(verbose=True):
     create_coupled_data.m (rand/randn/shift-PARAFAC + the zero-level noise
     tensors MATLAB still draws), normalizes per example_script1:86-103,
     then continues the SAME stream through init_coupled_AOADMM_CMTF.m's
-    draw order — the solver runs on byte-identical inputs to the reference
-    MATLAB run (example_script1:13,85,107).  Returns the run dict plus the
+    draw order (example_script1:13,85,107) — every random draw matches the
+    reference bit-for-bit; the assembled data arrays match to float64
+    rounding (the ktensor/noise products' association order is the one
+    place MATLAB's BLAS could differ in the last ulp).  Returns the run
+    dict plus the
     randn slow-path counts (0 = every normal draw took the anchor-verified
     fast path; see utils/matlab_rng.py)."""
     from examples.common import run_reference_seeded
