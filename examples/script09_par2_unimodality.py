@@ -44,7 +44,10 @@ def run_reference(verbose=True):
     from matlab_code_tpu import AlgOptions
     from examples.common import run_reference_seeded
     cfg = build()
-    K, J, R = 15, 50, 3
+    spec = cfg["spec"]
+    K = spec.par2_K(0)
+    J = spec.par2_slice_sizes(0)[0]
+    R = spec.datasets[0].rank
 
     def unimodal_matlab(A, rng):
         x = np.linspace(-10.0, 10.0, J)

@@ -20,7 +20,7 @@ x-table x[0]=0 .. x[255]=r=3.6541528853610088:
     U   = ((wA >> 3) << 24 | (wB & 0xFFFFFF)) - 2^52   (signed 53-bit)
     u   = U / 2^52                                  in (-1, 1)
     x   = u * W[idx]   with W[i] = x[i+1] (i<255),  W[255] = v/f(r)
-    accept iff |x| < A[idx]  with A[i] = x[i] (i<255), A[255] = r
+    accept iff |x| <= A[idx]  with A[i] = x[i] (i<255), A[255] = r
 
 The x-table is the standard ziggurat table (equal region area
 v = r·f(r) + Φtail(r), f = exp(-x²/2)) computed here in 60-digit precision
@@ -66,6 +66,9 @@ class MatlabRNG:
                 & 0xFFFFFFFF
         self._mt = mt.astype(np.uint32)
         self._pos = _N
+        # randn rejection-path events on this stream (see module docstring)
+        self.slowpath_edge = 0
+        self.slowpath_tail = 0
 
     def _twist(self):
         """The mt19937ar generate-block loop.  It is SEQUENTIAL: entries
@@ -130,9 +133,6 @@ class MatlabRNG:
 
     # -- randn: the 'Ziggurat' NormalTransform (see module docstring) -------
 
-    slowpath_edge = 0   # edge-wedge tests taken (canonical, not bit-verified)
-    slowpath_tail = 0   # tail samples taken (canonical, not bit-verified)
-
     def _randn1(self) -> float:
         """One normal draw, sequential, including the rejection paths."""
         W, A, F = _zig_tables()
@@ -149,6 +149,9 @@ class MatlabRNG:
                 while True:
                     xx = -np.log(self.rand(1)[0]) * _ZIG_INV_R
                     yy = -np.log(self.rand(1)[0])
+                    # accept-on->= follows Marsaglia's published nfix
+                    # (while -2*log(U) < x*x); the exact-equality boundary
+                    # is measure-zero and has no published anchor either way
                     if yy + yy >= xx * xx:
                         return (r + xx) if x > 0 else -(r + xx)
             else:                               # edge wedge of region idx

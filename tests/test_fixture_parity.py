@@ -300,20 +300,20 @@ def test_script1_reference_seeded_replay():
     ("script09_par2_unimodality", 0.96, (115, 2)),
 ])
 def test_reference_seeded_replays(mod, noise_fms, slowpaths):
-    """Reference-seeded replays of the remaining plain-factory type-0
-    scripts (2, 6, 8): data AND init regenerated from one rng("default")
-    twister stream (noisy this time — the noise values themselves are
-    replayed draws).  Ground-truth recovery matches the reference's
-    expected outcome at its noise level; trajectories pinned as goldens;
-    randn rejection-path event counts pinned (canonical slow-path
-    implementation change detector)."""
+    """Reference-seeded replays beyond script 1: the plain-factory type-0
+    scripts (2, 6, 8) and the specialized-generator scripts replayed via
+    the post_uncoupled hook (9 unimodal, 10 piecewise/randi) — data AND
+    init regenerated from one rng("default") twister stream (noisy this
+    time: the noise values themselves are replayed draws).  Ground-truth
+    recovery matches the reference's expected outcome at its noise level;
+    trajectories pinned as goldens; randn rejection-path event counts
+    pinned (canonical slow-path implementation change detector)."""
     import sys
     sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
     import importlib
     m = importlib.import_module(f"examples.{mod}")
     res = m.run_reference(verbose=False)
-    scores = [s for rep in res["report"].values() for s in
-              (rep[1:] if isinstance(rep, tuple) else [rep[1]])]
+    scores = [s for rep in res["report"].values() for s in rep[1:]]
     assert min(scores) > noise_fms, res["report"]
     assert res["out"].exit_flag != "maxIterations"
     assert (res["slowpath_edge"], res["slowpath_tail"]) == slowpaths
