@@ -35,12 +35,17 @@ def build(small=False):
 def run_reference(verbose=True):
     """Reference-seeded replay of example_script6 (rng("default") data +
     init, noise 0.2 per :29, the reference's exact distr with randn on
-    mode 3 per :30; see examples/common.run_reference_seeded)."""
+    mode 3 per :30; see examples/common.run_reference_seeded).  The
+    reference's own stopping tolerance is looser than build()'s
+    (options.AbsFuncTol = 1e-4, example_script6:124), so override it here
+    to stop at the same iteration the reference run would."""
+    import dataclasses
     from examples.common import run_reference_seeded
     cfg = build()
     distr = ["rand", "rand", "randn", "rand", "rand", "rand", "rand"]
+    opts = dataclasses.replace(cfg["opts"], AbsFuncTol=1e-4)
     return run_reference_seeded(cfg["spec"], cfg["lambdas"], distr,
-                                cfg["opts"], noise=0.2, verbose=verbose)
+                                opts, noise=0.2, verbose=verbose)
 
 
 if __name__ == "__main__":

@@ -120,6 +120,9 @@ def fit_multistart(spec: ProblemSpec, data: ProblemData, options: AlgOptions,
     lb_h = (jnp.zeros((S, nb, T + 1), jnp.int32)
             if spec.has_non_frobenius() else None)
     frm = jnp.full((S,), np.nan, dt)
+    # per-lane f_rel_missing history (out.func_rel_missing,
+    # cmtf_fun_AOADMM.m:489) — tracked only for EM problems
+    frm_h = jnp.full((S, T + 1), np.nan, dt) if miss_flag else None
     stopped = jnp.zeros((S,), bool)
     illc_l = jnp.zeros((S,), bool)
     stop_iter = jnp.full((S,), T, jnp.int32)
@@ -148,15 +151,16 @@ def fit_multistart(spec: ProblemSpec, data: ProblemData, options: AlgOptions,
         dax = 0 if miss_flag else None
         vsweep = jax.vmap(sweep_one, in_axes=(0, dax, 0, 0, 0))
 
-        def run(state, vdata, grams, colnorms, rho_scale, f4, frm, hist,
-                inner_h, lb_h, stopped, illc_l, stop_iter, it0, last_it):
+        def run(state, vdata, grams, colnorms, rho_scale, f4, frm, frm_h,
+                hist, inner_h, lb_h, stopped, illc_l, stop_iter, it0,
+                last_it):
             def cond(c):
                 it, stopped = c[-2], c[-5]
                 return (it <= last_it) & (~jnp.all(stopped))
 
             def body(c):
-                (state, vdata, grams, colnorms, rho_scale, f4, frm, hist,
-                 inner_h, lb_h, stopped, illc_l, stop_iter, it, _) = c
+                (state, vdata, grams, colnorms, rho_scale, f4, frm, frm_h,
+                 hist, inner_h, lb_h, stopped, illc_l, stop_iter, it, _) = c
                 new = vsweep(state, vdata if miss_flag else data, grams,
                              colnorms, rho_scale)
                 (nstate, ndata, ngrams, ncolnorms, nrho, f4n, frmn,
@@ -181,6 +185,9 @@ def fit_multistart(spec: ProblemSpec, data: ProblemData, options: AlgOptions,
                 stop_now = stop_now | bad | illc_n
                 # record history for active lanes only
                 act = ~stopped
+                if frm_h is not None:
+                    frm_h = frm_h.at[:, it].set(
+                        jnp.where(act, frmn, np.nan))
                 hist = hist.at[:, :, it].set(
                     jnp.where(act[:, None], f4n, 0.0))
                 inner_h = inner_h.at[:, :, it].set(
@@ -193,19 +200,20 @@ def fit_multistart(spec: ProblemSpec, data: ProblemData, options: AlgOptions,
                 stop_iter = jnp.where(act, it, stop_iter)
                 stopped = stopped | stop_now
                 return (nstate, ndata, ngrams, ncolnorms, nrho, f4n, frmn,
-                        hist, inner_h, lb_h2, stopped, illc_n, stop_iter,
-                        it + 1, jnp.int32(last_it))
+                        frm_h, hist, inner_h, lb_h2, stopped, illc_n,
+                        stop_iter, it + 1, jnp.int32(last_it))
 
-            c0 = (state, vdata, grams, colnorms, rho_scale, f4, frm, hist,
-                  inner_h, lb_h, stopped, illc_l, stop_iter, it0,
+            c0 = (state, vdata, grams, colnorms, rho_scale, f4, frm, frm_h,
+                  hist, inner_h, lb_h, stopped, illc_l, stop_iter, it0,
                   jnp.int32(last_it))
             return lax.while_loop(cond, body, c0)
 
         return jax.jit(run, static_argnames=())
 
     it = jnp.int32(1)
-    carry = (batched, vdata, grams, colnorms, rho_scale, f4, frm, hist,
-             inner_h, lb_h, stopped, illc_l, stop_iter, it, jnp.int32(0))
+    carry = (batched, vdata, grams, colnorms, rho_scale, f4, frm, frm_h,
+             hist, inner_h, lb_h, stopped, illc_l, stop_iter, it,
+             jnp.int32(0))
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
         from matlab_code_tpu.parallel.sharding import DATA_AXIS
@@ -223,8 +231,8 @@ def fit_multistart(spec: ProblemSpec, data: ProblemData, options: AlgOptions,
         sharded = tuple(
             jax.tree_util.tree_map(shard_S, c,
                                    is_leaf=lambda x: x is None)
-            for c in carry[:13])
-        carry = sharded + carry[13:]
+            for c in carry[:14])
+        carry = sharded + carry[14:]
     import time as _time
     t0 = _time.perf_counter()
     for last_it, active in phases:
@@ -233,8 +241,8 @@ def fit_multistart(spec: ProblemSpec, data: ProblemData, options: AlgOptions,
         run = make_phase(active)
         carry = run(*carry[:-2], carry[-2], last_it)
 
-    (states_f, _, _, _, _, f4, frm, hist, inner_h, lb_h, stopped, illc_l,
-     stop_iter, it, _) = carry
+    (states_f, _, _, _, _, f4, frm, frm_h, hist, inner_h, lb_h, stopped,
+     illc_l, stop_iter, it, _) = carry
     np.asarray(stop_iter)   # full host sync (block_until_ready alone
     #                         under-reports on the axon TPU backend)
     t_total = _time.perf_counter() - t0   # wall time of ALL starts together
@@ -253,6 +261,12 @@ def fit_multistart(spec: ProblemSpec, data: ProblemData, options: AlgOptions,
         is_leaf=lambda x: x is None)
 
     n_it = stop_iters[best]
+    # per-iteration wall times for the best lane: the vmapped batch runs all
+    # lanes together, so the per-lane share is the global per-iteration time
+    # (t_total / max iterations executed) over this lane's first n_it
+    # iterations — a uniform-rate interpolation, like fit()'s chunked marks
+    max_it = max(max(stop_iters), 1)
+    time_at_it = np.arange(n_it + 1) * (t_total / max_it)
     f4b = tuple(float(hist[best, i, n_it]) for i in range(4))
     if illc_l[best] or not all(np.isfinite(f4b)):
         exit_flag = "illconditioned lin system"
@@ -272,9 +286,10 @@ def fit_multistart(spec: ProblemSpec, data: ProblemData, options: AlgOptions,
         func_coupl_conv=hist[best, 1, :n_it + 1],
         func_constr_conv=hist[best, 2, :n_it + 1],
         func_PAR2_coupl=hist[best, 3, :n_it + 1],
-        func_rel_missing=None,
+        func_rel_missing=(np.asarray(frm_h)[best, :n_it + 1]
+                          if miss_flag else None),
         innerIters=inner_h[best, :, :n_it + 1],
-        time_total=t_total,
+        time_total=t_total, time_at_it=time_at_it,
         lbfgsb_iterations=(np.asarray(lb_h)[best, :, :n_it + 1]
                            if lb_h is not None else None))
     return best_state, best_out, finals, stop_iters

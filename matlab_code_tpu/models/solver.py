@@ -682,6 +682,7 @@ def fit_stepwise(spec: ProblemSpec, data: ProblemData, state: SolverState,
     inner_hist = [np.zeros((spec.nb_modes,), np.int32)]
     lb_hist = [np.zeros((spec.nb_modes,), np.int32)]
     frm = float("nan")
+    frm_hist = [frm]
     t0 = time.perf_counter()
     it = 1
     stop = False
@@ -694,6 +695,7 @@ def fit_stepwise(spec: ProblemSpec, data: ProblemData, state: SolverState,
         lb_hist.append(np.asarray(lb_col))
         f4_new = tuple(float(v) for v in f4_new)
         frm = float(frm_t)
+        frm_hist.append(frm)
         stop = bool(stopping(f4_new, f4, options))
         if miss_flag:
             stop = stop and frm < options.OuterRelTol
@@ -730,7 +732,7 @@ def fit_stepwise(spec: ProblemSpec, data: ProblemData, state: SolverState,
         exit_flag=exit_flag, OuterIterations=n_iter,
         func_val_conv=harr[:, 0], func_coupl_conv=harr[:, 1],
         func_constr_conv=harr[:, 2], func_PAR2_coupl=harr[:, 3],
-        func_rel_missing=None,
+        func_rel_missing=(np.asarray(frm_hist) if miss_flag else None),
         innerIters=np.stack(inner_hist, axis=1),
         time_total=times[-1], time_at_it=np.asarray(times),
         lbfgsb_iterations=(np.stack(lb_hist, axis=1)

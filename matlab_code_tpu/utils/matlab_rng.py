@@ -127,7 +127,16 @@ class MatlabRNG:
 
         The scaling construction is pinned by the randi doc anchor
         (rng default, randi(10,1,5) -> 9 10 2 10 7 = the canonical rand
-        stream 0.8147... scaled)."""
+        stream 0.8147... scaled).  Validated-scope note: the anchor covers
+        small imax only; floor-scaling of one double is MATLAB's known
+        behavior for imax << 2^53 but large imax (where MATLAB may switch
+        to a bias-free integer construction) has no anchor — assert the
+        known-good range rather than guessing there."""
+        if imax > 1 << 20:
+            raise NotImplementedError(
+                "MatlabRNG.randi is anchor-validated for small imax only "
+                "(floor-scaling construction); the replayed scripts use "
+                "imax <= 60")
         v = np.floor(imax * self.rand(m, n)).astype(np.int64) + 1
         return np.minimum(v, imax)      # guard the rand()==1-ulp edge
 

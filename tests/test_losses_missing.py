@@ -108,6 +108,57 @@ def test_missing_data_em_cp():
     assert fms(zhat[0]["factors"], [Atrue[m] for m in range(3)]) > 0.99
 
 
+def test_em_telemetry_uniform_across_fit_variants():
+    """fit / fit_stepwise / fit_multistart return the SAME populated
+    telemetry fields on an EM problem — the reference's `out` struct is
+    uniform across entry paths (cmtf_fun_AOADMM.m:480-494): per-iteration
+    func_rel_missing history and time_at_it present in all three."""
+    from matlab_code_tpu.models.init import init_coupled
+    from matlab_code_tpu.models.solver import fit, fit_stepwise
+    from matlab_code_tpu.models.multistart import fit_multistart
+    spec = ProblemSpec(
+        mode_sizes=(10, 11, 12),
+        datasets=(DatasetSpec(model="CP", modes=(0, 1, 2), rank=2),),
+        coupling=CouplingSpec(lin_coupled_modes=(0, 0, 0), coupling_type=()),
+        constraints=(ConstraintSpec("non-negativity"), None, None))
+    from matlab_code_tpu.utils.datagen import create_coupled_data, \
+        normalize_data
+    data, _, _, _ = create_coupled_data(
+        spec, lambdas=[[1, 1]], noise=0.0,
+        distr=["rand", "randn", "randn"], rng=3)
+    data, _ = normalize_data(spec, data)
+    rng = np.random.default_rng(1)
+    mask = rng.uniform(size=(10, 11, 12)) > 0.2
+    X0 = np.asarray(data.objects[0])
+    data = dataclasses.replace(
+        data, objects=(jnp.asarray(np.where(mask, X0, 0.0)),),
+        miss=(jnp.asarray(mask),))
+    opts = AlgOptions(MaxOuterIters=60, AbsFuncTol=1e-12, OuterRelTol=1e-12)
+    init = InitOptions(distr=("rand", "randn", "randn"), normalize=True,
+                       lambdas_init=((1, 1),))
+    state0 = init_coupled(spec, data, init, key=2)
+    _, out_f = fit(spec, data, state0, opts)
+    _, out_s = fit_stepwise(spec, data, state0, opts)
+    _, out_m, _, _ = fit_multistart(spec, data, opts, init, n_starts=2,
+                                    keys=[2, 3])
+    for out in (out_f, out_s, out_m):
+        n = out.OuterIterations
+        assert out.func_rel_missing is not None
+        assert len(out.func_rel_missing) == n + 1
+        # iterations 1..n carry finite EM residuals (index 0 is pre-iteration)
+        assert np.all(np.isfinite(out.func_rel_missing[1:]))
+        assert out.time_at_it is not None
+        assert len(out.time_at_it) == n + 1
+        assert np.all(np.diff(out.time_at_it) >= 0)
+        assert np.isclose(out.func_rel_missing[-1], out.f_rel_missing)
+    # the deterministic per-iteration EM residual streams agree between the
+    # fused and host-stepped drivers (same math, same draws)
+    n = min(out_f.OuterIterations, out_s.OuterIterations)
+    np.testing.assert_allclose(out_f.func_rel_missing[1:n + 1],
+                               out_s.func_rel_missing[1:n + 1],
+                               rtol=1e-8, atol=1e-12)
+
+
 def test_missing_data_em_par2():
     # PAR2 with missing entries in the slices
     K, J, I = 5, 11, 9
