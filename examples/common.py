@@ -44,32 +44,54 @@ def _setup(spec, lambdas, distr, noise, coupl_trafo, coupl_trafo2,
 
 def run_reference_seeded(spec, lambdas, distr, opts, noise=0.0,
                          verbose=True, init_distr=None,
-                         normalize_columns=False, post_uncoupled=None):
-    """FULL reference-seeded replay of an example script whose draws all
-    come from one rng("default") twister stream through
-    create_coupled_data.m + init_coupled_AOADMM_CMTF.m (the scripts using
-    the plain factory with type-0 couplings and rand/randn distrs:
-    1, 2, 6, 8).  Data and init are regenerated with the bit-exact MATLAB
-    draw sequence (utils/matlab_rng.py), data normalized per
+                         normalize_columns=False, post_uncoupled=None,
+                         coupl_trafo=None, coupl_trafo2=None,
+                         bk_style="shift", case1_max_override=True,
+                         data_seed="default", init_seed=None,
+                         pre_init=None):
+    """FULL reference-seeded replay of an example script: data and init
+    are regenerated with the bit-exact MATLAB twister draw sequence
+    (utils/matlab_rng.py) through create_coupled_data.m (or the
+    specialized generator selected by bk_style/case1_max_override/
+    post_uncoupled) + init_coupled_AOADMM_CMTF.m, data normalized per
     example_script1:86-103, init normalized per init_options.normalize=1.
-    Returns the run dict plus the randn rejection-path counts (0 = every
-    normal draw took the anchor-verified fast path)."""
+
+    data_seed/init_seed: MATLAB rng() seeds — init_seed=None continues the
+    single stream (most scripts); scripts 3 and 13 reseed before init
+    (rng(13)/rng(1), example_script3:112, example_script13:119).
+    pre_init(data, rng) -> data: draw-consuming hook between normalize and
+    init — the insertion point of script 12's randperm missing masks
+    (example_script12:115-147).
+    Returns the run dict plus the randn rejection-path counts summed over
+    both streams (0 = every normal draw took the anchor-verified fast
+    path)."""
     from matlab_code_tpu.models.solver import cmtf_aoadmm
     from matlab_code_tpu.utils.matlab_rng import (
         MatlabRNG, matlab_create_coupled_data, matlab_init_coupled)
 
-    rng = MatlabRNG("default")
-    data, Atrue, rng = matlab_create_coupled_data(
+    rng = MatlabRNG(data_seed)
+    data, Atrue, Delta, rng = matlab_create_coupled_data(
         spec, distr=distr, lambdas=lambdas, noise=noise, rng=rng,
-        normalize_columns=normalize_columns, post_uncoupled=post_uncoupled)
+        normalize_columns=normalize_columns, post_uncoupled=post_uncoupled,
+        coupl_trafo=coupl_trafo, coupl_trafo2=coupl_trafo2,
+        bk_style=bk_style, case1_max_override=case1_max_override)
     data, _ = normalize_data(spec, data)
+    if pre_init is not None:
+        data = pre_init(data, rng)
+    irng = rng if init_seed is None else MatlabRNG(init_seed)
+    delta_shapes = {cid: tuple(np.asarray(D).shape)
+                    for cid, D in Delta.items()}
     state0 = matlab_init_coupled(spec, distr=init_distr or distr,
-                                 normalize=True, rng=rng)
+                                 normalize=True, rng=irng,
+                                 coupl_trafo=coupl_trafo,
+                                 delta_shapes=delta_shapes or None)
     zhat, state, _, out = cmtf_aoadmm(spec, data, opts, init=state0)
     report = summarize(spec, data, zhat, Atrue, out, verbose=verbose)
+    edge = rng.slowpath_edge + (0 if irng is rng else irng.slowpath_edge)
+    tail = rng.slowpath_tail + (0 if irng is rng else irng.slowpath_tail)
     return dict(zhat=zhat, state=state, out=out, data=data, Atrue=Atrue,
-                report=report, slowpath_edge=rng.slowpath_edge,
-                slowpath_tail=rng.slowpath_tail)
+                Delta=Delta, report=report, slowpath_edge=edge,
+                slowpath_tail=tail)
 
 
 def run(spec, lambdas, distr, opts, noise=0.0, coupl_trafo=None,

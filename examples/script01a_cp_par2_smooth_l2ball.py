@@ -34,5 +34,26 @@ def build(small=False):
                 opts=opts, key=2 if small else 0, bk_style="smooth")
 
 
+def run_reference(verbose=True):
+    """FULL reference-seeded replay of example_script1a: data regenerated
+    with the BIT-EXACT rng(5) draw sequence of
+    create_coupled_data_smoothBks.m — the consumed-and-discarded 200x3
+    draw (:60), B = randn(3,3), per-slice qr(randn(4,3),0) rotations of
+    the orthonormalized cubic basis (:66-84; qr/svd reproduce MATLAB's
+    LAPACK results to ulp), the type-0 coupled draw, and the level-0.5
+    noise tensors — then init on the same stream
+    (example_script1a:17,92,110).  Reference options
+    example_script1a:119-126."""
+    from examples.common import run_reference_seeded
+    cfg = build()
+    return run_reference_seeded(
+        cfg["spec"], cfg["lambdas"], cfg["distr"], cfg["opts"], noise=0.5,
+        bk_style="smooth", data_seed=5, verbose=verbose)
+
+
 if __name__ == "__main__":
-    run(**build())
+    import os
+    if os.environ.get("REFERENCE_REPLAY") == "1":
+        run_reference()
+    else:
+        run(**build())

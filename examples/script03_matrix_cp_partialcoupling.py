@@ -38,5 +38,31 @@ def build(small=False):
                 key=2 if small else 0)
 
 
+def run_reference(verbose=True):
+    """FULL reference-seeded replay of example_script3: data regenerated
+    with the BIT-EXACT rng(4) draw sequence of create_coupled_data.m —
+    uncoupled rand/randn factors, the type-4 coupled truth Delta = rand
+    (50,4) with A1 = Delta*eye(4), A4 = Delta*H (:139-147), and the
+    noise-tensor draws at level 0.05 — then a SECOND stream rng(13) for
+    init_coupled_AOADMM_CMTF's draws (example_script3:15,112).  Options
+    are the reference's own (AbsFuncTol 1e-6, inner tolerances 1e-3,
+    example_script3:119-126)."""
+    import dataclasses
+    from examples.common import run_reference_seeded
+    cfg = build()
+    opts = dataclasses.replace(
+        cfg["opts"], AbsFuncTol=1e-6,
+        innerRelPrTol_coupl=1e-3, innerRelPrTol_constr=1e-3,
+        innerRelDualTol_coupl=1e-3, innerRelDualTol_constr=1e-3)
+    return run_reference_seeded(
+        cfg["spec"], cfg["lambdas"], cfg["distr"], opts, noise=0.05,
+        coupl_trafo=cfg["coupl_trafo"], data_seed=4, init_seed=13,
+        verbose=verbose)
+
+
 if __name__ == "__main__":
-    run(**build())
+    import os
+    if os.environ.get("REFERENCE_REPLAY") == "1":
+        run_reference()
+    else:
+        run(**build())

@@ -23,5 +23,25 @@ def build(small=False):
                 bk_style="orth")
 
 
+def run_reference(verbose=True):
+    """FULL reference-seeded replay of example_script4: data regenerated
+    with the BIT-EXACT rng("default") draw sequence of
+    create_irregularPARAFAC2_coupled_data.m — the consumed-and-discarded
+    61x3 randn block (:58), then per-slice orth(randn(J_k,3)) for
+    J_k = 61..120 (:63-70, orth's SVD reproduces MATLAB's LAPACK result to
+    ulp), noise draws at level 0.2 — then init on the same stream (ragged
+    per-slice draws, init:77-87).  Reference options
+    example_script4:105-112."""
+    from examples.common import run_reference_seeded
+    cfg = build()
+    return run_reference_seeded(
+        cfg["spec"], cfg["lambdas"], cfg["distr"], cfg["opts"], noise=0.2,
+        bk_style="orth", verbose=verbose)
+
+
 if __name__ == "__main__":
-    run(**build())
+    import os
+    if os.environ.get("REFERENCE_REPLAY") == "1":
+        run_reference()
+    else:
+        run(**build())

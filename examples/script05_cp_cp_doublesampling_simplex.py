@@ -38,5 +38,37 @@ def build(small=False):
                 mode_post=simplex_post, opts=opts, key=2)
 
 
+def run_reference(verbose=True):
+    """FULL reference-seeded replay of example_script5: data regenerated
+    with the BIT-EXACT rng("default") draw sequence of
+    create_coupled_data_example5simplex.m — the reference's all-randn
+    distr (mode 6 rand, :31), the in-loop simplex normalization of mode 6
+    (:73-77, draw-free so applied via post_uncoupled), and the type-1
+    coupled truth WITHOUT the main factory's largest-mode override
+    (:100-110: mode1 = cp_modes(1)), A4 = pinv(H4) @ Delta at LAPACK-ulp
+    — then init on the same stream.  Reference options AbsFuncTol 1e-4,
+    inner tolerances 1e-3 (example_script5:123-128)."""
+    import dataclasses
+    from examples.common import run_reference_seeded
+    cfg = build()
+    distr = ["randn", "randn", "randn", "randn", "randn", "rand"]
+
+    def simplex_mode6(A, rng):
+        A[5] = A[5] / A[5].sum(axis=0, keepdims=True)
+
+    opts = dataclasses.replace(
+        cfg["opts"],
+        innerRelPrTol_coupl=1e-3, innerRelPrTol_constr=1e-3,
+        innerRelDualTol_coupl=1e-3, innerRelDualTol_constr=1e-3)
+    return run_reference_seeded(
+        cfg["spec"], cfg["lambdas"], distr, opts, noise=0.2,
+        coupl_trafo=cfg["coupl_trafo"], case1_max_override=False,
+        post_uncoupled=simplex_mode6, verbose=verbose)
+
+
 if __name__ == "__main__":
-    run(**build())
+    import os
+    if os.environ.get("REFERENCE_REPLAY") == "1":
+        run_reference()
+    else:
+        run(**build())

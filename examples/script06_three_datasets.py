@@ -36,14 +36,18 @@ def run_reference(verbose=True):
     """Reference-seeded replay of example_script6 (rng("default") data +
     init, noise 0.2 per :29, the reference's exact distr with randn on
     mode 3 per :30; see examples/common.run_reference_seeded).  The
-    reference's own stopping tolerance is looser than build()'s
-    (options.AbsFuncTol = 1e-4, example_script6:124), so override it here
-    to stop at the same iteration the reference run would."""
+    reference's own tolerances are looser than build()'s
+    (options.AbsFuncTol = 1e-4, inner tolerances 1e-3,
+    example_script6:124-129), so override them here to run the exact
+    reference configuration."""
     import dataclasses
     from examples.common import run_reference_seeded
     cfg = build()
     distr = ["rand", "rand", "randn", "rand", "rand", "rand", "rand"]
-    opts = dataclasses.replace(cfg["opts"], AbsFuncTol=1e-4)
+    opts = dataclasses.replace(
+        cfg["opts"], AbsFuncTol=1e-4,
+        innerRelPrTol_coupl=1e-3, innerRelPrTol_constr=1e-3,
+        innerRelDualTol_coupl=1e-3, innerRelDualTol_constr=1e-3)
     return run_reference_seeded(cfg["spec"], cfg["lambdas"], distr,
                                 opts, noise=0.2, verbose=verbose)
 

@@ -40,5 +40,33 @@ def build(small=False):
                 delta_shapes={1: (n1, 4)}, opts=opts, key=2)
 
 
+def run_reference(verbose=True):
+    """FULL reference-seeded replay of example_script13: data regenerated
+    with the BIT-EXACT rng(4) draw sequence of
+    create_coupled_data_example13.m — the type-5 coupled truth with the
+    largest-mode override picking mode 4 (:138-139: sz 100 > 50, so
+    A4 = rand(100,4) is drawn with lambdas{1}'s R=4, Delta = H4 @ A4,
+    A1 = pinv(eye(50)) @ Delta at LAPACK-ulp, then A4 = A4 @ H2_4 selects
+    the 3 shared components, :150), zero-noise draws consumed — then a
+    SECOND stream rng(1) for init with the Delta size hint the reference
+    passes as Deltatrue (example_script13:119-120).  Reference options
+    AbsFuncTol 1e-8, inner tolerances 1e-3 (:128-133)."""
+    import dataclasses
+    from examples.common import run_reference_seeded
+    cfg = build()
+    opts = dataclasses.replace(
+        cfg["opts"],
+        innerRelPrTol_coupl=1e-3, innerRelPrTol_constr=1e-3,
+        innerRelDualTol_coupl=1e-3, innerRelDualTol_constr=1e-3)
+    return run_reference_seeded(
+        cfg["spec"], cfg["lambdas"], cfg["distr"], opts, noise=0.0,
+        coupl_trafo=cfg["coupl_trafo"], coupl_trafo2=cfg["coupl_trafo2"],
+        data_seed=4, init_seed=1, verbose=verbose)
+
+
 if __name__ == "__main__":
-    run(**build())
+    import os
+    if os.environ.get("REFERENCE_REPLAY") == "1":
+        run_reference()
+    else:
+        run(**build())

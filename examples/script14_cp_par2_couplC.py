@@ -40,5 +40,27 @@ def build(small=False):
                 opts=opts, key=2)
 
 
+def run_reference(verbose=True):
+    """FULL reference-seeded replay of example_script14: data regenerated
+    with the BIT-EXACT rng("default") draw sequence of
+    create_coupled_data.m — shift-PARAFAC Bk from randn (:64-72), the
+    type-1 coupling on the PAR2 C-mode with the largest-mode override
+    picking mode 6 (:96-97: sz 40 > 20, so A6 = rand(40,3)+0.1 is drawn,
+    Delta = H6 @ A6, A1 = pinv(eye(20)) @ Delta at LAPACK-ulp), zero-level
+    noise draws still consumed — then init on the same stream.  Reference
+    options MaxOuterIters=10000 (example_script14:116-123)."""
+    import dataclasses
+    from examples.common import run_reference_seeded
+    cfg = build()
+    opts = dataclasses.replace(cfg["opts"], MaxOuterIters=10000)
+    return run_reference_seeded(
+        cfg["spec"], cfg["lambdas"], cfg["distr"], opts, noise=0.0,
+        coupl_trafo=cfg["coupl_trafo"], verbose=verbose)
+
+
 if __name__ == "__main__":
-    run(**build())
+    import os
+    if os.environ.get("REFERENCE_REPLAY") == "1":
+        run_reference()
+    else:
+        run(**build())

@@ -171,6 +171,22 @@ class MatlabRNG:
                     return x
                 # rejected: fall through to a fresh (wA, wB) attempt
 
+    def randperm(self, n: int, k: int | None = None):
+        """MATLAB randperm(n[,k]): indices 1..n in random order (first k).
+
+        Construction: full sort of n fresh rand() draws ([~,p]=sort(rand
+        (1,n))), truncated to the first k — pinned by the two doc anchors
+        rng default -> randperm(6) = [6 3 5 1 2 4] and randperm(8,4) =
+        [6 3 7 8], both exactly the sort order of the canonical
+        0.8147... stream.  Validated-scope note: the anchors cover
+        k = n and k = n/2; whether MATLAB switches to a cheaper partial
+        algorithm (different stream consumption) for k << n has no anchor
+        — the replayed script (12) uses k = n/5, between the anchors.
+        Consumes n draws regardless of k.  Returns 1-based indices."""
+        vals = self.rand(n)
+        p = np.argsort(vals, kind="stable") + 1
+        return p if k is None else p[:k]
+
     def randn(self, m: int, n: int | None = None):
         """MATLAB randn(m[,n]) on the twister stream, column-major fill.
 
@@ -300,31 +316,66 @@ def _draw(rng: MatlabRNG, distr, m, n):
         f"got {distr!r}")
 
 
+def _matlab_orth(A):
+    """MATLAB orth(A): left singular vectors up to the rank cutoff
+    tol = max(size(A)) * eps(max(s)) (orth doc; SVD-based)."""
+    U, s, _ = np.linalg.svd(A, full_matrices=False)
+    if s.size == 0:
+        return U[:, :0]
+    tol = max(A.shape) * np.spacing(s[0])
+    return U[:, : int(np.sum(s > tol))]
+
+
 def matlab_create_coupled_data(spec, distr, lambdas, noise=0.0,
                                normalize_columns=False, rng=None,
                                seed="default", dtype=np.float64,
-                               post_uncoupled=None):
+                               post_uncoupled=None, coupl_trafo=None,
+                               coupl_trafo2=None, bk_style="shift",
+                               case1_max_override=True):
     """Bit-exact replay of create_coupled_data.m's random draws.
 
     Reproduces the reference factory's draw ORDER exactly on a MATLAB
     twister stream: uncoupled factor matrices in dataset/mode order with
-    the shift-PARAFAC Bk built from one draw (create_coupled_data.m:55-75),
-    type-0 coupled factors drawn in coupling-id order (:85-94), then the
-    data blocks with their noise tensors — the CP noise randn(size(X)) and
-    the per-slice PAR2 randn(size(Xk)) are drawn COLUMN-MAJOR and consumed
-    even at noise level 0, exactly as MATLAB does (:160-162, :175-181), so
-    the stream position after this call matches the reference's when
-    init_coupled_AOADMM_CMTF runs next (pass the returned rng to
-    matlab_init_coupled).
+    the PAR2 Bk built per `bk_style` (create_coupled_data.m:55-75 and the
+    specialized generators), coupled factors drawn in coupling-id order
+    for types 0-5 (:78-150, create_coupled_data_example13.m:137-151), then
+    the data blocks with their noise tensors — the CP noise randn(size(X))
+    and the per-slice PAR2 randn(size(Xk)) are drawn COLUMN-MAJOR and
+    consumed even at noise level 0, exactly as MATLAB does (:160-162,
+    :175-181), so the stream position after this call matches the
+    reference's when init_coupled_AOADMM_CMTF runs next (pass the returned
+    rng to matlab_init_coupled).
 
-    Scope: Frobenius losses, coupling types limited to 0 (the trafo-matrix
-    types 1-5 draw through MATLAB pinv/orth whose LAPACK last-ulp behavior
-    is not reproducible here), regular shift-PARAFAC2 slices.
+    Certainty boundary: every random DRAW is bit-exact; the deterministic
+    linear algebra the coupled/orth paths route those draws through
+    (pinv/lstsq for types 1/2/5, create_coupled_data.m:104-127; SVD-based
+    orth for the irregular Bk, create_irregularPARAFAC2_coupled_data.m:
+    63-70; economy qr + svd for the smooth Bk,
+    create_coupled_data_smoothBks.m:66-84) reproduces MATLAB's LAPACK
+    results only to last-ulp/roundoff accumulation, so the assembled
+    arrays match at float64-rounding rather than bit level there.
+
+    bk_style: how the PAR2 Bk mode is built from the stream —
+      'shift'  one draw + circshift per slice (create_coupled_data.m:64-72;
+               equal slice sizes, as the reference's shift requires),
+      'orth'   per-slice orth(distr(J_k, R)) after one consumed-and-
+               discarded sz(1)xR draw (create_irregularPARAFAC2_...m:63-70;
+               ragged slices supported),
+      'smooth' one consumed-discarded draw, B = randn(R,R), then per slice
+               [Pk,~] = qr(randn(4,R),0); Bk = Morth @ Pk @ B with Morth
+               the orthonormalized cubic basis
+               (create_coupled_data_smoothBks.m:66-84).
+    case1_max_override: the main factory + example13 re-pick mode1 as the
+    LARGEST coupled mode for types 1/5 (create_coupled_data.m:96-97) while
+    the specialized generators keep cp_modes(1)
+    (create_coupled_data_example5simplex.m:100-110) — set False for those.
     post_uncoupled(A, rng): optional draw-consuming hook run between the
     uncoupled and coupled phases — the insertion point of the specialized
     generators' extra draws (e.g. the piecewise-constant overwrite of
     create_CP_data_example10piecewiseconstant.m:78-89).
-    Returns (data: ProblemData, Atrue, rng).
+    Scope: Frobenius losses only (poissrnd/gamrnd have no published
+    anchors; see docs/PARITY.md).
+    Returns (data: ProblemData, Atrue, Delta: dict per cid, rng).
     """
     from matlab_code_tpu.problem import PAR2, ProblemData, Parafac2Tensor
     import jax.numpy as jnp
@@ -334,6 +385,11 @@ def matlab_create_coupled_data(spec, distr, lambdas, noise=0.0,
     P = len(spec.datasets)
     noise = [noise] * P if np.isscalar(noise) else list(noise)
     A = [None] * nb
+    Delta = {}
+    H = list(coupl_trafo) if coupl_trafo is not None else [None] * nb
+    H2 = list(coupl_trafo2) if coupl_trafo2 is not None else [None] * nb
+    H = [None if h is None else np.asarray(h, float) for h in H]
+    H2 = [None if h is None else np.asarray(h, float) for h in H2]
 
     def norm_cols(M):
         return M / np.linalg.norm(M, axis=0, keepdims=True)
@@ -350,14 +406,44 @@ def matlab_create_coupled_data(spec, distr, lambdas, noise=0.0,
                 continue
             if ds.model == PAR2 and ds.modes.index(n) == 1:
                 sizes = spec.par2_slice_sizes(p)
-                if len(set(sizes)) > 1:
-                    raise NotImplementedError(
-                        "shift-PARAFAC replay needs equal slice sizes "
-                        "(create_coupled_data.m:64-72)")
+                # the reference draws distr(sz{n}(1), R) FIRST for every
+                # style; shift uses it, orth/smooth discard it (but the
+                # stream moved)
                 AA = _draw(rng, distr[n], sizes[0], R)
                 if normalize_columns:
                     AA = norm_cols(AA)
-                A[n] = [np.roll(AA, k, axis=0) for k in range(len(sizes))]
+                if bk_style == "shift":
+                    if len(set(sizes)) > 1:
+                        raise NotImplementedError(
+                            "shift-PARAFAC replay needs equal slice sizes "
+                            "(create_coupled_data.m:64-72)")
+                    A[n] = [np.roll(AA, k, axis=0)
+                            for k in range(len(sizes))]
+                elif bk_style == "orth":
+                    A[n] = [_matlab_orth(_draw(rng, distr[n], J, R))
+                            for J in sizes]
+                elif bk_style == "smooth":
+                    if len(set(sizes)) > 1:
+                        raise NotImplementedError(
+                            "smooth Bk replay needs equal slice sizes "
+                            "(create_coupled_data_smoothBks.m:70-77)")
+                    B = rng.randn(R, R)
+                    szBk = sizes[0]
+                    x = np.linspace(-1.0, 1.0, szBk)
+                    M = np.stack([np.ones(szBk), x, x ** 2, x ** 3],
+                                 axis=1)
+                    Morth = np.linalg.svd(M, full_matrices=False)[0]
+                    Bks = []
+                    for _J in sizes:
+                        Pk = np.linalg.qr(rng.randn(4, R),
+                                          mode="reduced")[0]
+                        Bk = Morth @ (Pk @ B)
+                        if normalize_columns:
+                            Bk = norm_cols(Bk)
+                        Bks.append(Bk)
+                    A[n] = Bks
+                else:
+                    raise ValueError(f"unknown bk_style {bk_style!r}")
             else:
                 An = _draw(rng, distr[n], spec.mode_sizes[n], R)
                 if normalize_columns:
@@ -367,21 +453,67 @@ def matlab_create_coupled_data(spec, distr, lambdas, noise=0.0,
     if post_uncoupled is not None:
         post_uncoupled(A, rng)
 
-    # coupled modes (create_coupled_data.m:78-94; type 0 only)
+    # coupled modes (create_coupled_data.m:78-150; type 5 per
+    # create_coupled_data_example13.m:137-151)
     for cid in range(1, spec.coupling.n_couplings + 1):
         ctype = spec.coupling.coupling_type[cid - 1]
-        if ctype != 0:
-            raise NotImplementedError(
-                "matlab_create_coupled_data replays type-0 couplings only")
         cmodes = list(spec.coupled_modes_of(cid))
         mode1 = cmodes[0]
-        p1 = spec.which_p(mode1)
-        A[mode1] = _draw(rng, distr[mode1], spec.mode_sizes[mode1],
-                         len(lambdas[p1]))
-        if normalize_columns:
-            A[mode1] = norm_cols(A[mode1])
-        for j in cmodes[1:]:
-            A[j] = A[mode1].copy()
+        # p_mode1 is resolved BEFORE the case-1/5 max override and not
+        # recomputed after it (create_coupled_data.m:83,96-98)
+        R1 = len(lambdas[spec.which_p(mode1)])
+        if ctype == 0:
+            A[mode1] = _draw(rng, distr[mode1], spec.mode_sizes[mode1], R1)
+            if normalize_columns:
+                A[mode1] = norm_cols(A[mode1])
+            for j in cmodes[1:]:
+                A[j] = A[mode1].copy()
+        elif ctype in (1, 5):
+            if case1_max_override:   # :96-97 — largest coupled mode wins
+                mode1 = cmodes[int(np.argmax(
+                    [spec.mode_sizes[m] for m in cmodes]))]
+            A[mode1] = _draw(rng, distr[mode1], spec.mode_sizes[mode1], R1)
+            if normalize_columns:
+                A[mode1] = norm_cols(A[mode1])
+            Delta[cid] = H[mode1] @ A[mode1]
+            for j in cmodes:
+                if j != mode1:
+                    A[j] = np.linalg.pinv(H[j]) @ Delta[cid]
+            if ctype == 5:           # example13:150
+                A[mode1] = A[mode1] @ H2[mode1]
+        elif ctype == 2:
+            Delta[cid] = _draw(rng, distr[mode1], spec.mode_sizes[mode1],
+                               H[mode1].shape[1])
+            if normalize_columns:
+                Delta[cid] = norm_cols(Delta[cid])
+            for j in cmodes:
+                # the reference computes Delta*pinv(H) then immediately
+                # overwrites it with lsqminnorm(H', Delta')'
+                # (create_coupled_data.m:117-119); lstsq (SVD-based gelsd)
+                # is the min-norm solve — equal to lsqminnorm's COD result
+                # up to LAPACK roundoff for the full-rank H used here
+                A[j] = np.linalg.lstsq(H[j].T, Delta[cid].T,
+                                       rcond=None)[0].T
+                zerocols = np.flatnonzero(np.abs(A[j]).sum(axis=0) == 0)
+                if zerocols.size:    # :120-126 refill all-zero columns
+                    fill = _draw(rng, distr[j], spec.mode_sizes[j],
+                                 zerocols.size)
+                    if normalize_columns:
+                        fill = norm_cols(fill)
+                    A[j][:, zerocols] = fill
+        elif ctype == 3:
+            Delta[cid] = _draw(rng, distr[mode1], H[mode1].shape[1], R1)
+            if normalize_columns:
+                Delta[cid] = norm_cols(Delta[cid])
+            for j in cmodes:
+                A[j] = H[j] @ Delta[cid]
+        elif ctype == 4:
+            Delta[cid] = _draw(rng, distr[mode1], spec.mode_sizes[mode1],
+                               H[mode1].shape[0])
+            if normalize_columns:
+                Delta[cid] = norm_cols(Delta[cid])
+            for j in cmodes:
+                A[j] = Delta[cid] @ H[j]
 
     # data blocks + noise (create_coupled_data.m:152-183); MATLAB randn(sz)
     # fills column-major and is drawn even when the noise level is 0
@@ -413,13 +545,18 @@ def matlab_create_coupled_data(spec, distr, lambdas, noise=0.0,
             objects.append(Parafac2Tensor.from_list(X[p], dtype=dtype))
         else:
             objects.append(jnp.asarray(np.asarray(X[p], dtype=dtype)))
-    data = ProblemData(objects=tuple(objects),
-                       coupl_trafo=(None,) * nb, coupl_trafo2=(None,) * nb)
-    return data, A, rng
+    data = ProblemData(
+        objects=tuple(objects),
+        coupl_trafo=tuple(None if h is None else jnp.asarray(h)
+                          for h in H),
+        coupl_trafo2=tuple(None if h is None else jnp.asarray(h)
+                           for h in H2))
+    return data, A, Delta, rng
 
 
 def matlab_init_coupled(spec, distr, normalize=False, delta_shapes=None,
-                        seed="default", rng=None, dtype=np.float64):
+                        seed="default", rng=None, dtype=np.float64,
+                        coupl_trafo=None):
     """Bit-exact replay of init_coupled_AOADMM_CMTF.m's random draws.
 
     Reproduces the reference's draw ORDER exactly (init:46-96 factor
@@ -428,7 +565,11 @@ def matlab_init_coupled(spec, distr, normalize=False, delta_shapes=None,
     MATLAB-compatible rand streams, then packages the result as this
     framework's SolverState (PAR2 slices padded+masked).  distr: per-mode
     'rand' / 'rand+c' strings.  nvecs init draws nothing random for the
-    factors and is not needed here.
+    factors and is not needed here.  coupl_trafo: per-mode H matrices —
+    required for coupling types 1-4, whose Delta/dual shapes derive from
+    size(H{mode1}) (init:143-162).  delta_shapes: {cid: (rows, cols)} —
+    required for type 5, whose Delta size comes from the explicit 'Delta'
+    argument (init:163-167, example_script13:120).
     """
     from matlab_code_tpu.problem import PAR2
     from matlab_code_tpu.state import SolverState
@@ -505,24 +646,51 @@ def matlab_init_coupled(spec, distr, normalize=False, delta_shapes=None,
                 constraint_dual[n] = jnp.asarray(
                     rng.rand(*fac[n].shape))
 
-    # coupling Delta + duals (init:132-169)
+    # coupling Delta + duals (init:132-169); mode1 = first coupled mode in
+    # ALL cases here (init has no case-1 max override)
     coupling_fac = [None] * ncpl
     coupling_dual = [None] * nb
     for cid in range(1, ncpl + 1):
         cmodes = spec.coupled_modes_of(cid)
         m1 = cmodes[0]
         ctype = spec.coupling.coupling_type[cid - 1]
-        R1 = fac[m1].shape[-1]
+        H1 = None if coupl_trafo is None else coupl_trafo[m1]
         if ctype == 0:
             coupling_fac[cid - 1] = jnp.asarray(
                 rng.rand(*fac[m1].shape))
             for m in cmodes:
                 coupling_dual[m] = jnp.asarray(rng.rand(*fac[m1].shape))
-        elif ctype in (1, 2, 3, 4, 5):
-            raise NotImplementedError(
-                "matlab_init_coupled replays the rand-only reference flows "
-                "(types with trafo matrices are straightforward to add the "
-                "same way when a rand-only script needs them)")
+        elif ctype == 1:                                # init:143-147
+            shape = (np.asarray(H1).shape[0], fac[m1].shape[-1])
+            coupling_fac[cid - 1] = jnp.asarray(rng.rand(*shape))
+            for m in cmodes:
+                coupling_dual[m] = jnp.asarray(rng.rand(*shape))
+        elif ctype == 2:                                # init:148-152
+            shape = (fac[m1].shape[0], np.asarray(H1).shape[1])
+            coupling_fac[cid - 1] = jnp.asarray(rng.rand(*shape))
+            for m in cmodes:
+                coupling_dual[m] = jnp.asarray(rng.rand(*shape))
+        elif ctype == 3:                                # init:153-157
+            coupling_fac[cid - 1] = jnp.asarray(
+                rng.rand(np.asarray(H1).shape[1], fac[m1].shape[-1]))
+            for m in cmodes:
+                coupling_dual[m] = jnp.asarray(rng.rand(*fac[m].shape))
+        elif ctype == 4:                                # init:158-162
+            coupling_fac[cid - 1] = jnp.asarray(
+                rng.rand(fac[m1].shape[0], np.asarray(H1).shape[0]))
+            for m in cmodes:
+                coupling_dual[m] = jnp.asarray(rng.rand(*fac[m].shape))
+        else:                                           # 5, init:163-167
+            if delta_shapes is None or cid not in delta_shapes:
+                raise ValueError(
+                    "coupling type 5 replay needs delta_shapes={cid: "
+                    "(rows, cols)} (the reference passes the true Delta, "
+                    "example_script13:120)")
+            dsh = tuple(delta_shapes[cid])
+            coupling_fac[cid - 1] = jnp.asarray(rng.rand(*dsh))
+            for m in cmodes:
+                coupling_dual[m] = jnp.asarray(
+                    rng.rand(dsh[0], fac[m].shape[-1]))
     return SolverState(
         fac=tuple(fac), constraint_fac=tuple(constraint_fac),
         constraint_dual_fac=tuple(constraint_dual),

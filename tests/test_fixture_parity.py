@@ -200,6 +200,42 @@ def test_matlab_randn_anchors():
     np.testing.assert_array_equal(M.ravel(order="F"), v[:4])
 
 
+def test_matlab_randperm_anchors():
+    """randperm doc anchors (rng default): randperm(6) = [6 3 5 1 2 4]
+    and randperm(8,4) = [6 3 7 8] — both exactly the ascending sort order
+    of the canonical 0.8147... rand stream, pinning the sort-based
+    construction and its full-n stream consumption."""
+    from matlab_code_tpu.utils.matlab_rng import MatlabRNG
+    np.testing.assert_array_equal(MatlabRNG("default").randperm(6),
+                                  [6, 3, 5, 1, 2, 4])
+    np.testing.assert_array_equal(MatlabRNG("default").randperm(8, 4),
+                                  [6, 3, 7, 8])
+    # consumption: n draws regardless of k — the stream continues where
+    # rand(n) would have left it
+    r1, r2 = MatlabRNG("default"), MatlabRNG("default")
+    r1.randperm(8, 4)
+    r2.rand(8)
+    np.testing.assert_array_equal(r1.rand(5), r2.rand(5))
+
+
+def test_matlab_orth_qr_smooth_stages():
+    """The deterministic linear-algebra stages the coupled/Bk replays route
+    bit-exact draws through: orth() column count + orthonormality +
+    range equality, and the smooth-Bk basis construction."""
+    from matlab_code_tpu.utils.matlab_rng import MatlabRNG, _matlab_orth
+    rng = MatlabRNG(7)
+    A = rng.randn(61, 3).reshape((61, 3), order="F")
+    Q = _matlab_orth(A)
+    assert Q.shape == (61, 3)
+    np.testing.assert_allclose(Q.T @ Q, np.eye(3), atol=1e-12)
+    # same column space as A
+    proj = Q @ (Q.T @ A)
+    np.testing.assert_allclose(proj, A, atol=1e-10)
+    # rank-deficient input drops columns (MATLAB tol rule)
+    B = np.hstack([A[:, :2], A[:, :1]])       # exact repeat -> rank 2
+    assert _matlab_orth(B).shape[1] == 2
+
+
 def test_matlab_randn_stream_and_distribution():
     """Chunk-boundary invariance of the vectorized fast path (the rewind+
     skip bookkeeping around rejection events), agreement with the purely
@@ -288,26 +324,40 @@ def test_script1_reference_seeded_replay():
     assert len(traj) == len(ref["func_val_conv"])
 
 
-@pytest.mark.parametrize("mod,noise_fms,slowpaths", [
-    ("script02_matrix_par2_nonneg", 0.94, (3641, 54)),
-    ("script06_three_datasets", 0.99, (1970, 23)),
-    ("script08_regular_par2_nonneg", 0.98, (4314, 66)),
+@pytest.mark.parametrize("mod,noise_fms,slowpaths,allow_maxiter", [
+    ("script02_matrix_par2_nonneg", 0.94, (3641, 54), False),
+    ("script06_three_datasets", 0.99, (1970, 23), False),
+    ("script08_regular_par2_nonneg", 0.98, (4314, 66), False),
     # script 10: bit-exact draws incl. the piecewise randi/rand overwrite;
     # TV/l2-ball aux-init proxes match MATLAB to float64 rounding only
-    ("script10_cp_tv", 0.99, (3190, 45)),
+    ("script10_cp_tv", 0.99, (3190, 45), False),
     # script 9: bit-exact draws (incl. the discarded Bk draw); the normpdf
     # bump data matches MATLAB to float64 rounding (exp/linspace)
-    ("script09_par2_unimodality", 0.96, (115, 2)),
+    ("script09_par2_unimodality", 0.96, (115, 2), False),
+    # round-5 additions: coupled types 1/4/5, ragged orth Bk, smooth Bk,
+    # randperm EM masks (draws bit-exact; pinv/orth/qr/svd/lstsq stages at
+    # LAPACK-ulp; separate data/init streams for 3 and 13)
+    ("script03_matrix_cp_partialcoupling", 0.99, (936, 15), False),
+    ("script05_cp_cp_doublesampling_simplex", 0.99, (9138, 166), False),
+    ("script14_cp_par2_couplC", 0.999, (730, 10), False),
+    ("script13_cp_cp_type5", 0.999, (9178, 156), False),
+    ("script04_irregular_par2", 0.99, (3749, 53), False),
+    # 1a runs at noise 0.5 with tol 1e-7 — the reference's own 4000-iter
+    # cap is reached before AbsFuncTol, so maxIterations IS its outcome
+    ("script01a_cp_par2_smooth_l2ball", 0.95, (3584, 62), True),
+    ("script12_cp_par2_em", 0.99, (635, 8), False),
 ])
-def test_reference_seeded_replays(mod, noise_fms, slowpaths):
+def test_reference_seeded_replays(mod, noise_fms, slowpaths, allow_maxiter):
     """Reference-seeded replays beyond script 1: the plain-factory type-0
-    scripts (2, 6, 8) and the specialized-generator scripts replayed via
-    the post_uncoupled hook (9 unimodal, 10 piecewise/randi) — data AND
-    init regenerated from one rng("default") twister stream (noisy this
-    time: the noise values themselves are replayed draws).  Ground-truth
-    recovery matches the reference's expected outcome at its noise level;
-    trajectories pinned as goldens; randn rejection-path event counts
-    pinned (canonical slow-path implementation change detector)."""
+    scripts (2, 6, 8), the specialized-generator scripts replayed via the
+    post_uncoupled hook (9 unimodal, 10 piecewise/randi, 5 simplex), the
+    coupled-truth scripts (3 type-4, 5/14 type-1 pinv, 13 type-5), the
+    ragged-orth (4) and smooth-Bk (1a) generators, and the randperm EM
+    masks (12) — data AND init regenerated from the reference's exact
+    twister stream(s).  Ground-truth recovery matches the reference's
+    expected outcome at its noise level; trajectories pinned as goldens;
+    randn rejection-path event counts pinned (canonical slow-path
+    implementation change detector)."""
     import sys
     sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
     import importlib
@@ -315,7 +365,8 @@ def test_reference_seeded_replays(mod, noise_fms, slowpaths):
     res = m.run_reference(verbose=False)
     scores = [s for rep in res["report"].values() for s in rep[1:]]
     assert min(scores) > noise_fms, res["report"]
-    assert res["out"].exit_flag != "maxIterations"
+    if not allow_maxiter:
+        assert res["out"].exit_flag != "maxIterations"
     assert (res["slowpath_edge"], res["slowpath_tail"]) == slowpaths
 
     golden = os.path.join(os.path.dirname(__file__), "golden",
