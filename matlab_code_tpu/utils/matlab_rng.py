@@ -33,11 +33,17 @@ accept on |r| <= table[i-1]), which also fixes the REJECTION paths (edge
 wedge and tail, ~1-2% of draws): one genrand_res53 uniform for the wedge
 test f1 + u*(f0-f1) < exp(-r^2/2), and tail attempts x = -log(u1)*(1/r)
 accepted when -2*log(u2) >= x^2, with 1/r the rounded double constant.
-No PUBLISHED anchor exercises those paths, so they are structurally- but
-not anchor-validated — `slowpath_edge`/`slowpath_tail` count how often a
-sequence hit them, making the certainty boundary explicit per replay.
-`poissrnd`/`gamrnd` are not reproduced, so KL/IS noisy-data flows remain
-out of exact-replay scope.
+No PUBLISHED anchor exercises those paths — `slowpath_edge`/
+`slowpath_tail` count how often a sequence hit them, making the
+certainty boundary explicit per replay.  The whole construction
+(including both rejection paths and the ziggurat table itself) is
+cross-validated BIT-EXACTLY over 1e7 draws against an independent C++
+reconstruction (native/kernels.cc matlab_rng_oracle: sequential twist
+loop, runtime long-double table solve; tests/test_native.py), which
+rules out implementation slips on either side; fidelity to MATLAB's
+unpublished internals remains bounded by the anchor set.
+`poissrnd`/`gamrnd` are not reproduced (chained unanchored samplers), so
+KL/IS noisy-data flows remain out of exact-replay scope.
 """
 from __future__ import annotations
 

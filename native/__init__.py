@@ -59,6 +59,14 @@ def _load():
     lib.sparse_plan_export.argtypes = [
         ctypes.c_void_p, iptr, iptr, iptr, iptr, lptr, lptr]
     lib.sparse_plan_free.argtypes = [ctypes.c_void_p]
+    lib.matlab_randn_oracle.argtypes = [ctypes.c_uint32, ctypes.c_int64,
+                                        dptr, lptr]
+    lib.matlab_rand_oracle.argtypes = [ctypes.c_uint32, ctypes.c_int64,
+                                       dptr]
+    lib.matlab_zig_table.argtypes = [dptr, dptr, dptr]
+    lib.matlab_randn_oracle_with_table.argtypes = [
+        ctypes.c_uint32, ctypes.c_int64, dptr, lptr, dptr,
+        ctypes.c_double, ctypes.c_double]
     return lib
 
 
@@ -146,6 +154,54 @@ def sparse_plan(indices: np.ndarray, mode: int, gm0: int, gm1: int,
     finally:
         _lib.sparse_plan_free(h)
     return packed, btile, ctile, rowstart, slots, order
+
+
+def matlab_randn_oracle(n, seed=5489):
+    """n MATLAB-twister randn draws from the INDEPENDENT C++ reconstruction
+    (kernels.cc matlab_rng_oracle: sequential mt19937ar + runtime-solved
+    long-double ziggurat table).  Returns (draws, (edge, tail) rejection
+    counts).  Cross-validation oracle for utils/matlab_rng.MatlabRNG."""
+    out = np.empty(int(n), np.float64)
+    counts = np.zeros(2, np.int64)
+    _lib.matlab_randn_oracle(
+        seed, int(n), out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return out, (int(counts[0]), int(counts[1]))
+
+
+def matlab_randn_oracle_with_table(n, xs, w255, invr, seed=5489):
+    """Like matlab_randn_oracle but on a caller-provided ziggurat x-table
+    and derived constants — isolates the stream/accept-reject bookkeeping
+    from table-rounding noise for bit-exact comparison."""
+    out = np.empty(int(n), np.float64)
+    counts = np.zeros(2, np.int64)
+    xs = np.ascontiguousarray(xs, np.float64)
+    _lib.matlab_randn_oracle_with_table(
+        seed, int(n), out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        xs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        float(w255), float(invr))
+    return out, (int(counts[0]), int(counts[1]))
+
+
+def matlab_rand_oracle(n, seed=5489):
+    """n MATLAB genrand_res53 rand draws from the C++ reconstruction."""
+    out = np.empty(int(n), np.float64)
+    _lib.matlab_rand_oracle(
+        seed, int(n), out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return out
+
+
+def matlab_zig_table():
+    """The independently solved ziggurat x-table + derived constants
+    (v/f(r), 1/r) from kernels.cc."""
+    xs = np.empty(256, np.float64)
+    w255 = ctypes.c_double()
+    invr = ctypes.c_double()
+    _lib.matlab_zig_table(
+        xs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.byref(w255), ctypes.byref(invr))
+    return xs, float(w255.value), float(invr.value)
 
 
 def lbfgsb(fun, x0, lower, upper, m=5, maxiter=100, pgtol=1e-5, factr=1e7):
