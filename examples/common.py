@@ -48,7 +48,7 @@ def run_reference_seeded(spec, lambdas, distr, opts, noise=0.0,
                          coupl_trafo=None, coupl_trafo2=None,
                          bk_style="shift", case1_max_override=True,
                          data_seed="default", init_seed=None,
-                         pre_init=None):
+                         pre_init=None, save_plots=None):
     """FULL reference-seeded replay of an example script: data and init
     are regenerated with the bit-exact MATLAB twister draw sequence
     (utils/matlab_rng.py) through create_coupled_data.m (or the
@@ -87,6 +87,9 @@ def run_reference_seeded(spec, lambdas, distr, opts, noise=0.0,
                                  delta_shapes=delta_shapes or None)
     zhat, state, _, out = cmtf_aoadmm(spec, data, opts, init=state0)
     report = summarize(spec, data, zhat, Atrue, out, verbose=verbose)
+    if save_plots:
+        from matlab_code_tpu.utils.plotting import plot_convergence
+        plot_convergence(out, path=save_plots)
     edge = rng.slowpath_edge + (0 if irng is rng else irng.slowpath_edge)
     tail = rng.slowpath_tail + (0 if irng is rng else irng.slowpath_tail)
     return dict(zhat=zhat, state=state, out=out, data=data, Atrue=Atrue,
@@ -97,7 +100,12 @@ def run_reference_seeded(spec, lambdas, distr, opts, noise=0.0,
 def run(spec, lambdas, distr, opts, noise=0.0, coupl_trafo=None,
         coupl_trafo2=None, init_distr=None, key=1, data_rng=0,
         bk_style="shift", mode_post=None, delta_shapes=None, normalize=True,
-        verbose=True, miss_fraction=None, miss_rng=1, delta_override=None):
+        verbose=True, miss_fraction=None, miss_rng=1, delta_override=None,
+        save_plots=None):
+    """save_plots: optional PNG path — renders the reference scripts'
+    three-panel convergence figure (objective streams vs iterations and vs
+    wall time + inner-iteration counts, example_script1:154-189) via
+    utils/plotting.plot_convergence."""
     data, Atrue, Delta, init = _setup(
         spec, lambdas, distr, noise, coupl_trafo, coupl_trafo2, init_distr,
         data_rng, bk_style, mode_post, normalize, miss_fraction, miss_rng,
@@ -106,6 +114,9 @@ def run(spec, lambdas, distr, opts, noise=0.0, coupl_trafo=None,
                           delta_shapes=delta_shapes)
     zhat, state, _, out = cmtf_aoadmm(spec, data, opts, init=state0)
     report = summarize(spec, data, zhat, Atrue, out, verbose=verbose)
+    if save_plots:
+        from matlab_code_tpu.utils.plotting import plot_convergence
+        plot_convergence(out, path=save_plots)
     return dict(zhat=zhat, state=state, out=out, data=data, Atrue=Atrue,
                 Delta=Delta, report=report)
 

@@ -22,14 +22,15 @@ SCRIPTS = [
 ]
 
 
-def main(small=True):
+def main(small=True, plots_dir=None):
     from examples.common import run
     t_all = time.time()
     for name in SCRIPTS:
         print(f"=== {name} {'(small)' if small else '(full)'} ===")
         mod = importlib.import_module(f"examples.{name}")
         t0 = time.time()
-        run(**mod.build(small=small))
+        save = f"{plots_dir}/{name}.png" if plots_dir else None
+        run(**mod.build(small=small), save_plots=save)
         print(f"    [{time.time() - t0:.1f}s]")
     print(f"=== script15_realdata (multi-start) ===")
     mod = importlib.import_module("examples.script15_realdata")
@@ -38,4 +39,12 @@ def main(small=True):
 
 
 if __name__ == "__main__":
-    main(small="--full" not in sys.argv)
+    # --plots[=DIR]: also render each run's convergence figure
+    # (the reference scripts' plotting block, utils/plotting.py)
+    pdir = None
+    for a in sys.argv[1:]:
+        if a == "--plots":
+            pdir = "docs/plots"
+        elif a.startswith("--plots="):
+            pdir = a.split("=", 1)[1]
+    main(small="--full" not in sys.argv, plots_dir=pdir)

@@ -21,7 +21,7 @@ FIXTURE_DIR = "/root/reference/functions_for_example_scripts"
 
 
 def run_real(fixture_dir=FIXTURE_DIR, key=11, verbose=True,
-             reference_init=False):
+             reference_init=False, save_plots=None):
     """Replay example_script11 on the shipped .mat fixtures; returns a dict
     with fit (percent, example_script11:146-153), fms_A/B/C
     (:157-165) and the solver output.
@@ -69,6 +69,10 @@ def run_real(fixture_dir=FIXTURE_DIR, key=11, verbose=True,
                       innerRelPrTol_constr=1e-4, innerRelDualTol_coupl=1e-4,
                       innerRelDualTol_constr=1e-4)  # :125-135
     state, out = fit(spec, data, state0, opts)
+    if save_plots:
+        from matlab_code_tpu.utils.plotting import plot_convergence
+        plot_convergence(out, path=save_plots,
+                         title="convergence AO-ADMM (script 11, tPARAFAC2)")
 
     A_e = np.asarray(state.fac[0])
     C_e = np.asarray(state.fac[2])

@@ -46,6 +46,63 @@ def make_sharded_mttkrp(mesh: Mesh, axis: str, ndim: int, shard_dim: int,
     return f
 
 
+def make_sharded_mttkrp_pipelined(mesh: Mesh, axis: str, ndim: int,
+                                  shard_dim: int, target_mode: int,
+                                  n_devices: int):
+    """Ring-pipelined SPMD MTTKRP: the factor-exchange collective is
+    OVERLAPPED with the next chunk's compute (BASELINE.json north star;
+    SURVEY.md:153).
+
+    Instead of one bulk psum of the full (I_m, R) partial after all local
+    compute (make_sharded_mttkrp), the target mode's rows are split into
+    n_devices chunks and the reduction runs as a ring: at step t device d
+    contracts its X shard against row-chunk c = (d-1-t) mod n and adds it
+    to the accumulator that just arrived for that chunk, then
+    collective-permutes the accumulator to d+1.  The ppermute of step t
+    and the dynamic-slice+contraction of step t+1 carry no data
+    dependence, so XLA's async scheduler hides the transfer behind the
+    einsum (collective-permute start/done pairs in the compiled HLO —
+    asserted by bench_scaling.py's census).  After n steps device d holds
+    the fully reduced chunk d; a tiled all_gather re-replicates.
+
+    Communication volume equals the plain path's reduce phase (each
+    accumulator chunk of I_m/n rows crosses n-1 links) but is spread
+    across the sweep instead of serialized at the end.  Wins when the
+    per-chunk contraction time >= the chunk transfer time, i.e.
+    compute-heavy shards (see docs/ROOFLINE.md).  Requires
+    I_m % n_devices == 0 and target_mode != shard_dim
+    (build_sharded_mttkrps falls back to the bulk-psum path otherwise).
+    The ring accumulates in a different association order than psum, so
+    results match the plain path to float rounding, not bitwise.
+    """
+    n = n_devices
+    xspec = [None] * ndim
+    xspec[shard_dim] = axis
+    in_specs = (P(*xspec),
+                tuple(P(axis, None) if i == shard_dim else P(None, None)
+                      for i in range(ndim)))
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    @partial(shard_map, mesh=mesh, in_specs=in_specs,
+             out_specs=P(None, None), check_vma=False)
+    def f(x_shard, factors):
+        d = jax.lax.axis_index(axis)
+        Im = factors[target_mode].shape[0]
+        chunk = Im // n
+        acc = None
+        for t in range(n):                     # unrolled ring
+            c = (d + (n - 1 - t)) % n          # chunk visiting device d now
+            xs = jax.lax.dynamic_slice_in_dim(x_shard, c * chunk, chunk,
+                                              axis=target_mode)
+            p = mttkrp(xs, list(factors), target_mode)
+            acc = p if acc is None else acc + p
+            if t < n - 1:
+                acc = jax.lax.ppermute(acc, axis, perm)
+        return jax.lax.all_gather(acc, axis, axis=0, tiled=True)
+
+    return f
+
+
 def make_sharded_mttkrp_sparse(mesh: Mesh, axis: str, target_mode: int,
                                out_dim: int):
     """SPMD MTTKRP for a COO SparseTensor partitioned along the NONZERO axis
@@ -95,7 +152,7 @@ def pad_sparse_nnz(X, n: int):
     return SparseTensor(idx, val, X.plans)
 
 
-def build_sharded_mttkrps(spec, data, mesh, axis=None):
+def build_sharded_mttkrps(spec, data, mesh, axis=None, pipelined=False):
     """Explicit-collective MTTKRP implementations for every >=3-way CP
     dataset whose longest mesh-divisible mode can be sharded.
 
@@ -104,6 +161,12 @@ def build_sharded_mttkrps(spec, data, mesh, axis=None):
     SURVEY.md §2.3 with its collectives (one psum or tiled all_gather of an
     (I_m, R) matrix per mode update) pinned by hand instead of derived by
     XLA from sharding annotations.
+
+    pipelined=True swaps every dense psum-reducing target (target !=
+    shard mode, target size divisible by the mesh) for the ring
+    collective-permute variant whose transfers overlap the next chunk's
+    contraction (make_sharded_mttkrp_pipelined); other targets keep the
+    bulk path.
     """
     from matlab_code_tpu.problem import CP, SparseTensor
     from matlab_code_tpu.parallel.sharding import (
@@ -131,6 +194,11 @@ def build_sharded_mttkrps(spec, data, mesh, axis=None):
         if local is None:
             continue
         for target in range(X.ndim):
-            impls[(p, target)] = make_sharded_mttkrp(
-                mesh, axis, X.ndim, local, target)
+            if (pipelined and target != local
+                    and spec.mode_sizes[ds.modes[target]] % n == 0):
+                impls[(p, target)] = make_sharded_mttkrp_pipelined(
+                    mesh, axis, X.ndim, local, target, n)
+            else:
+                impls[(p, target)] = make_sharded_mttkrp(
+                    mesh, axis, X.ndim, local, target)
     return impls

@@ -182,3 +182,36 @@ def test_public_api_exports():
     for required in ("SparseTensor", "Parafac2Tensor", "fit_multistart",
                      "cmtf_aoadmm", "fit", "create_coupled_data"):
         assert required in mct.__all__
+
+
+def test_plot_convergence_renders(tmp_path):
+    """utils/plotting.plot_convergence renders the reference's three-panel
+    figure (example_script1:154-189) from a FitOutput and writes a PNG;
+    zero-valued stream points are dropped like MATLAB semilogy."""
+    import matplotlib
+    matplotlib.use("Agg")
+    from matlab_code_tpu import (
+        ProblemSpec, DatasetSpec, CouplingSpec, ConstraintSpec, AlgOptions,
+        InitOptions, cmtf_aoadmm)
+    from matlab_code_tpu.utils.datagen import create_coupled_data, \
+        normalize_data
+    from matlab_code_tpu.utils.plotting import plot_convergence
+    spec = ProblemSpec(
+        mode_sizes=(8, 9, 10),
+        datasets=(DatasetSpec(model="CP", modes=(0, 1, 2), rank=2),),
+        coupling=CouplingSpec(lin_coupled_modes=(0, 0, 0), coupling_type=()),
+        constraints=(ConstraintSpec("non-negativity"), None, None))
+    data, _, _, _ = create_coupled_data(
+        spec, lambdas=[[1, 1]], noise=0.0,
+        distr=["rand", "randn", "randn"], rng=3)
+    data, _ = normalize_data(spec, data)
+    init = InitOptions(distr=("rand", "randn", "randn"), normalize=True,
+                       lambdas_init=((1, 1),))
+    opts = AlgOptions(MaxOuterIters=12)
+    _, _, _, out = cmtf_aoadmm(spec, data, opts, init_options=init, key=2)
+    p = tmp_path / "conv.png"
+    fig = plot_convergence(out, path=str(p))
+    assert p.exists() and p.stat().st_size > 10000
+    assert len(fig.axes) == 3
+    import matplotlib.pyplot as plt
+    plt.close(fig)

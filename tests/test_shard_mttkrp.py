@@ -191,3 +191,106 @@ def test_cmtf_aoadmm_mesh_kwarg():
         np.testing.assert_allclose(np.asarray(st_sh.fac[m]),
                                    np.asarray(st_ref.fac[m]),
                                    rtol=1e-9, atol=1e-11)
+
+
+def test_pipelined_ring_mttkrp_matches_plain():
+    """The ring-pipelined MTTKRP (collective-permute per chunk, overlapped
+    with the next chunk's contraction) equals the bulk-psum path and the
+    single-device einsum for every psum-reducing target, at 8 devices."""
+    from matlab_code_tpu.parallel.shard_mttkrp import (
+        make_sharded_mttkrp_pipelined)
+    n = 8
+    mesh = make_mesh(n)
+    I, J, K, R = 32, 24, 40, 3
+    X = jnp.asarray(rng.standard_normal((I, J, K)))
+    facs = tuple(jnp.asarray(rng.standard_normal((s, R)))
+                 for s in (I, J, K))
+    for target in (1, 2):                    # target != shard_dim
+        f = make_sharded_mttkrp_pipelined(mesh, DATA_AXIS, 3, 0, target, n)
+        got = np.asarray(jax.jit(f)(X, facs))
+        want = np.asarray(mttkrp(X, list(facs), target))
+        np.testing.assert_allclose(got, want, rtol=1e-11, atol=1e-12)
+
+
+def test_pipelined_ring_hlo_structure():
+    """Compiled-HLO audit of the overlap design: n-1 collective-permute
+    sites per ring, and each in-flight permute is INDEPENDENT of the next
+    chunk's contraction — the permute's consumer combines it with a dot
+    that is not downstream of the permute, so the scheduler can overlap
+    them (async start/done pairs on backends that split collectives; the
+    CPU backend lowers permutes synchronously but the dataflow
+    independence is what the census checks)."""
+    import re
+    from matlab_code_tpu.parallel.shard_mttkrp import (
+        make_sharded_mttkrp_pipelined)
+    n = 8
+    mesh = make_mesh(n)
+    X = jnp.asarray(rng.standard_normal((32, 24, 40)))
+    facs = tuple(jnp.asarray(rng.standard_normal((s, 3)))
+                 for s in (32, 24, 40))
+    f = jax.jit(make_sharded_mttkrp_pipelined(mesh, DATA_AXIS, 3, 0, 1, n))
+    txt = f.lower(X, facs).compile().as_text()
+    sync = len(re.findall(r"= [^=]*collective-permute\(", txt))
+    starts = len(re.findall(r"collective-permute-start\(", txt))
+    dones = len(re.findall(r"collective-permute-done\(", txt))
+    assert starts == dones
+    assert sync + starts == n - 1, (sync, starts, txt[:500])
+    assert len(re.findall(r"all-gather", txt)) >= 1
+    # overlap independence: permute results are consumed jointly with a
+    # dot (fusion(%ppermute, %dot) / add(%permute, %dot)), never BY a dot
+    consumers = re.findall(
+        r"= \S+ (?:fusion|add)\(([^)]*(?:collective-permute|ppermute)"
+        r"[^)]*)\)", txt)
+    assert consumers, txt[:800]
+    for args in consumers:
+        assert "dot" in args or "fusion" in args, args
+
+
+def test_fit_with_pipelined_collectives_matches_plain():
+    """make_outer_step with pipelined ring MTTKRPs reproduces the plain
+    solver's trajectory (float-rounding tolerance: the ring reduces in a
+    different association order than psum)."""
+    from matlab_code_tpu import (
+        ProblemSpec, DatasetSpec, CouplingSpec, ConstraintSpec, AlgOptions,
+        InitOptions)
+    from matlab_code_tpu.models.init import init_coupled
+    from matlab_code_tpu.models.solver import (
+        init_cache, make_outer_step, build_proxes)
+    from matlab_code_tpu.parallel.shard_mttkrp import build_sharded_mttkrps
+    from matlab_code_tpu.utils.datagen import create_coupled_data, \
+        normalize_data
+
+    spec = ProblemSpec(
+        mode_sizes=(16, 24, 16),
+        datasets=(DatasetSpec(model="CP", modes=(0, 1, 2), rank=2),),
+        coupling=CouplingSpec(lin_coupled_modes=(0, 0, 0), coupling_type=()),
+        constraints=(ConstraintSpec("non-negativity"), None, None))
+    data, _, _, _ = create_coupled_data(
+        spec, lambdas=[[1, 1]], noise=0.02, distr=["rand", "randn", "randn"],
+        rng=4)
+    data, _ = normalize_data(spec, data)
+    init = InitOptions(distr=("rand", "randn", "randn"), normalize=True,
+                       lambdas_init=((1, 1),))
+    state0 = init_coupled(spec, data, init, key=3)
+    opts = AlgOptions(MaxOuterIters=20)
+    proxes, reg_fns = build_proxes(spec)
+    mesh = make_mesh(8)
+    impls_pipe = build_sharded_mttkrps(spec, data, mesh, pipelined=True)
+    # the pipelined builder swapped in ring variants for the non-sharded
+    # targets (mode sizes 24 and 16 are both divisible by 8)
+    assert set(impls_pipe) == {(0, t) for t in range(3)}
+
+    def sweep(impls):
+        step = make_outer_step(spec, opts, proxes, reg_fns, True,
+                               mttkrp_impls=impls)
+        state, (grams, colnorms) = state0, init_cache(spec, state0)
+        for _ in range(opts.MaxOuterIters):
+            state, grams, colnorms, *_ = step(state, data, grams, colnorms)
+        return state
+
+    st_plain = sweep(None)
+    st_pipe = sweep(impls_pipe)
+    for m in range(3):
+        np.testing.assert_allclose(np.asarray(st_pipe.fac[m]),
+                                   np.asarray(st_plain.fac[m]),
+                                   rtol=1e-9, atol=1e-11)
