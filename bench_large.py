@@ -44,22 +44,31 @@ def large_problem(I=256, J1=1024, J2=512, M1=8192, R=64):
     return spec, data, state, opts
 
 
-def run_iters(spec, data, state, opts, n_iters):
+def run_iters(spec, data, state, opts, n_iters, want_bound=False):
     """it/s of the full outer step, in-jit loop.  n_iters must be large
     enough that device time >> the ~27 ms tunnel sync floor (round 2's
-    n_iters=10 measurement under-reported 750 it/s as 238 it/s)."""
+    n_iters=10 measurement under-reported 750 it/s as 238 it/s).
+    want_bound=True additionally returns the per-iteration roofline lower
+    bound from XLA's post-fusion cost model (bench._roofline_bound_us:
+    max(FLOPs at MXU peak, bytes at HBM peak); conservative — see its
+    docstring) so the printed line can carry % of bound."""
     proxes, reg_fns = build_proxes(spec)
     step = make_outer_step(spec, opts, proxes, reg_fns, True)
     grams, colnorms = init_cache(spec, state)
 
-    @jax.jit
-    def n_steps(state, data, grams, colnorms):
+    def n_steps_fn(state, data, grams, colnorms):
         def body(i, c):
             s, g, cn = c
             s, g, cn, *_ = step(s, data, g, cn)
             return (s, g, cn)
         return jax.lax.fori_loop(0, n_iters, body, (state, grams, colnorms))
 
+    n_steps = jax.jit(n_steps_fn)
+    bound = None
+    if want_bound:
+        from bench import _roofline_bound_us
+        compiled = n_steps.lower(state, data, grams, colnorms).compile()
+        bound = _roofline_bound_us(compiled, n_iters)
     out = n_steps(state, data, grams, colnorms)
     np.asarray(out[0].fac[0])
     best = np.inf
@@ -69,7 +78,7 @@ def run_iters(spec, data, state, opts, n_iters):
         np.asarray(out[0].fac[0])
         best = min(best, (time.perf_counter() - t0) / n_iters)
     assert bool(jnp.all(jnp.isfinite(out[0].fac[0])))
-    return 1.0 / best
+    return (1.0 / best, bound) if want_bound else 1.0 / best
 
 
 def par2_problem(I=256, J=256, K=512, R=32):
@@ -267,12 +276,21 @@ def main():
                       "value": round(it_s, 2), "unit": "outer_iters/s",
                       "vs_baseline": None}))
     spec, data, state, opts = kl_problem()
-    it_s = run_iters(spec, data, state, opts, 60)
+    it_s, bound = run_iters(spec, data, state, opts, 60, want_bound=True)
     gb = np.asarray(data.objects[0]).nbytes / 1e9
     print(f"# KL workload: {gb:.2f} GB counts, rank 8 (L-BFGS-B inner solves)")
+    if bound:
+        bound_us, fl, by = bound
+        pct = 100.0 * bound_us / (1e6 / it_s)
     print(json.dumps({"metric": "aoadmm_iters_per_s_kl_lbfgsb",
                       "value": round(it_s, 2), "unit": "outer_iters/s",
-                      "vs_baseline": None}))
+                      "vs_baseline": None,
+                      **({"pct_of_roofline_bound": round(pct, 1),
+                          "bound_us_per_iter": round(bound_us, 1),
+                          "flops_per_iter": fl, "bytes_per_iter": by,
+                          "bound_model": "max(XLA-cost FLOPs/197TF, "
+                                         "bytes/819GBs); conservative"}
+                         if bound else {})}))
     spec, data, state, opts = sparse_problem()      # pallas one-hot-MXU path
     it_s = run_iters(spec, data, state, opts, 40)
     nnz = np.asarray(data.objects[0].values).size

@@ -465,7 +465,9 @@ def _get_phase_runner(spec: ProblemSpec, options: AlgOptions,
     if mesh is not None:
         from matlab_code_tpu.parallel.shard_mttkrp import \
             build_sharded_mttkrps
-        impls = build_sharded_mttkrps(spec, data, mesh)
+        impls = build_sharded_mttkrps(
+            spec, data, mesh,
+            pipelined=options.mesh_pipelined_collectives)
     from matlab_code_tpu.models.pairwise import eligible_pp_datasets
     pp_datasets = eligible_pp_datasets(spec, data, options, mesh)
     outer_step = make_outer_step(spec, options, proxes, reg_fns, bk_active,

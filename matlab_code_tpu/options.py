@@ -57,6 +57,14 @@ class AlgOptions:
     # residual exceeds 10x the dual residual or vice versa (Boyd et al. 2011,
     # sec. 3.4.1), clamped to [1e-6, 1e6].
     adaptive_rho_nonfrob: bool = False
+    # Under fit(mesh=...): route dense CP MTTKRPs whose psum target divides
+    # the mesh through the ring-pipelined collective-permute path
+    # (parallel/shard_mttkrp.make_sharded_mttkrp_pipelined) so the
+    # factor-exchange transfer overlaps the next chunk's contraction
+    # (BASELINE north star; docs/ROOFLINE.md "Ring-pipelined MTTKRP").
+    # Results match the bulk-psum layout to float rounding (different
+    # reduction association order).
+    mesh_pipelined_collectives: bool = False
     # PARAFAC2 P_k update (polar factor, cmtf_fun_AOADMM.m:532-534) method:
     # 'svd' = batched econ-SVD (LAPACK-grade, the reference's math); 'ns' =
     # cubic Newton-Schulz (matmuls only — batched per-slice SVD lowers to a

@@ -294,3 +294,50 @@ def test_fit_with_pipelined_collectives_matches_plain():
         np.testing.assert_allclose(np.asarray(st_pipe.fac[m]),
                                    np.asarray(st_plain.fac[m]),
                                    rtol=1e-9, atol=1e-11)
+
+
+def test_fit_mesh_pipelined_option_matches_plain():
+    """AlgOptions.mesh_pipelined_collectives=True under fit(mesh=) routes
+    the psum targets through the ring-pipelined path and reproduces the
+    plain fit's trajectory to float rounding."""
+    from matlab_code_tpu import (
+        ProblemSpec, DatasetSpec, CouplingSpec, ConstraintSpec, AlgOptions,
+        InitOptions)
+    from matlab_code_tpu.models.init import init_coupled
+    from matlab_code_tpu.models.solver import fit
+    from matlab_code_tpu.utils.datagen import create_coupled_data, \
+        normalize_data
+    from matlab_code_tpu.parallel.sharding import data_shardings, \
+        state_shardings
+
+    spec = ProblemSpec(
+        mode_sizes=(16, 24, 16),
+        datasets=(DatasetSpec(model="CP", modes=(0, 1, 2), rank=2),),
+        coupling=CouplingSpec(lin_coupled_modes=(0, 0, 0), coupling_type=()),
+        constraints=(ConstraintSpec("non-negativity"), None, None))
+    data, _, _, _ = create_coupled_data(
+        spec, lambdas=[[1, 1]], noise=0.02, distr=["rand", "randn", "randn"],
+        rng=4)
+    data, _ = normalize_data(spec, data)
+    init = InitOptions(distr=("rand", "randn", "randn"), normalize=True,
+                       lambdas_init=((1, 1),))
+    state0 = init_coupled(spec, data, init, key=3)
+    opts = AlgOptions(MaxOuterIters=15, AbsFuncTol=0.0, OuterRelTol=0.0,
+                      mesh_pipelined_collectives=True)
+
+    st_ref, out_ref = fit(spec, data, state0,
+                          AlgOptions(MaxOuterIters=15, AbsFuncTol=0.0,
+                                     OuterRelTol=0.0))
+    mesh = make_mesh(8)
+    data_sh, sharded_modes = data_shardings(spec, data, mesh)
+    st_sh, out_sh = fit(spec, jax.device_put(data, data_sh),
+                        jax.device_put(state0,
+                                       state_shardings(spec, state0, mesh,
+                                                       sharded_modes)),
+                        opts, mesh=mesh)
+    np.testing.assert_allclose(out_sh.func_val_conv, out_ref.func_val_conv,
+                               rtol=1e-9, atol=1e-12)
+    for m in range(spec.nb_modes):
+        np.testing.assert_allclose(np.asarray(st_sh.fac[m]),
+                                   np.asarray(st_ref.fac[m]),
+                                   rtol=1e-8, atol=1e-10)
