@@ -492,7 +492,15 @@ def golden_check(digests):
             worst, worst_key = dev, k
     # f32 production paths re-run on the same chip: converged ADMM factors
     # are stable to the fixpoint accuracy; 2e-2 catches any structural break
-    status = "PASS" if worst < 2e-2 and not missing else "FAIL"
+    # missing keys mean a bench SEGMENT was skipped by the tunnel-wedge
+    # watchdog (its workload never ran this round) — that is PARTIAL
+    # coverage, not a numeric failure; FAIL is reserved for real deviation
+    if worst >= 2e-2:
+        status = "FAIL"
+    elif missing:
+        status = "PARTIAL (segments skipped by the watchdog)"
+    else:
+        status = "PASS"
     print(f"# golden_check: {status} (max rel dev {worst:.2e} at "
           f"{worst_key or 'n/a'}; missing {missing or 'none'})")
     return status
@@ -567,8 +575,14 @@ def main_measure(partial_path=None):
     if time.perf_counter() - t_start < 400:
         import dataclasses as _dc
         from matlab_code_tpu.models.solver import fit
-        op_fit = _dc.replace(opts, MaxOuterIters=3000, AbsFuncTol=1e-4,
-                             OuterRelTol=1e-10, TimeAtItChunk=200)
+        # TimeAtItChunk=0: ONE fused dispatch for the whole fit — each
+        # chunk boundary costs a host sync through the axon tunnel
+        # (27 ms floor, ~0.4 s when degraded), which would contaminate a
+        # wall-clock-to-convergence number; stopping runs on device.
+        # Tolerances per the script-15 protocol
+        # (example_script15_realdata.m:101-135).
+        op_fit = _dc.replace(opts, MaxOuterIters=12000, AbsFuncTol=1e-4,
+                             OuterRelTol=1e-10, TimeAtItChunk=0)
         t0 = time.perf_counter()
         _, out_fit = fit(spec, data, state, op_fit, validate=False)
         M["fit_wallclock_s"] = out_fit.time_total
@@ -628,9 +642,9 @@ def summarize(M):
               f"_roofline_bound_us)")
     if vals.get("fit_wallclock_s") is not None:
         print(f"# fit_wallclock_s: {vals['fit_wallclock_s']:.2f} (full "
-              f"production fit() on the flagship to AbsFuncTol 1e-4, "
-              f"stopped at iter {vals.get('fit_stop_iter')}, exit "
-              f"{vals.get('fit_exit')}; "
+              f"production fit() on the flagship, tol 1e-4/1e-10 per the "
+              f"script-15 protocol, one fused dispatch; stopped at iter "
+              f"{vals.get('fit_stop_iter')}, exit {vals.get('fit_exit')}; "
               f"{vals.get('fit_wallclock_total_s', 0):.0f}s incl. compile)")
     if stale:
         print(f"# STALE segments (tunnel wedge — recorded 2026-08-20 "
