@@ -142,13 +142,11 @@ def pipelined_overlap_census(n_devices: int) -> dict:
     (parallel/shard_mttkrp.make_sharded_mttkrp_pipelined): counts the
     collective-permute sites (sync and async start/done forms) of one
     pipelined ring on the flagship's CP dataset and verifies the overlap
-    dataflow — each in-flight permute is combined with a dot that is NOT
-    downstream of it, so the scheduler may hide the transfer behind the
-    contraction (on TPU the async pass splits these into start/done
-    pairs; the CPU backend lowers them synchronously but the dataflow
-    independence is backend-invariant)."""
-    import re
+    dataflow via the shared parallel/hlo_census.ring_permute_census helper
+    (one implementation with tests/test_shard_mttkrp.py so the regexes and
+    assertions cannot drift apart)."""
     from jax.sharding import Mesh
+    from matlab_code_tpu.parallel.hlo_census import ring_permute_census
     from matlab_code_tpu.parallel.shard_mttkrp import (
         make_sharded_mttkrp_pipelined)
     n = n_devices
@@ -157,22 +155,7 @@ def pipelined_overlap_census(n_devices: int) -> dict:
     facs = tuple(jnp.zeros((s, 4)) for s in (16 * n, 24, 32))
     f = jax.jit(make_sharded_mttkrp_pipelined(mesh, "d", 3, 0, 1, n))
     txt = f.lower(X, facs).compile().as_text()
-    sync = len(re.findall(r"= [^=]*collective-permute\(", txt))
-    starts = len(re.findall(r"collective-permute-start\(", txt))
-    dones = len(re.findall(r"collective-permute-done\(", txt))
-    gathers = len(re.findall(r"all-gather", txt))
-    consumers = re.findall(
-        r"= \S+ (?:fusion|add)\(([^)]*(?:collective-permute|ppermute)"
-        r"[^)]*)\)", txt)
-    overlap_ok = bool(consumers) and all(
-        ("dot" in a or "fusion" in a) for a in consumers)
-    assert starts == dones, (starts, dones)
-    assert sync + starts == n - 1, (n, sync, starts)
-    assert gathers >= 1
-    assert overlap_ok, consumers[:3]
-    return {"ring_steps": n - 1, "permute_sites_sync": sync,
-            "permute_start_done_pairs": starts, "all_gather_sites": gathers,
-            "overlap_dataflow_independent": overlap_ok}
+    return ring_permute_census(txt, n)
 
 
 def run_census(counts) -> dict:
@@ -184,6 +167,13 @@ def run_census(counts) -> dict:
                            n, explicit=True)}
         if n >= 2:
             out[str(n)]["pipelined_overlap"] = pipelined_overlap_census(n)
+            # full-sweep census with the ring-pipelined MTTKRP impls wired
+            # into make_outer_step (mesh_pipelined_collectives path): the
+            # production sweep must carry the ring's n-1 permute sites
+            pip = collective_census(n, pipelined=True)
+            out[str(n)]["explicit_pipelined_sweep"] = pip
+            assert pip.get("collective-permute", {}).get("sites", 0) >= \
+                n - 1, (n, pip)
         sites = {k: v["sites"] for k, v in out[str(n)]["pjit"].items()}
         print(f"devices={n}: collective sites (pjit) = {sites or 'none'}")
     # (a) a single device needs no collectives in the XLA-partitioned

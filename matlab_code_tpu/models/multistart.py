@@ -234,11 +234,18 @@ def fit_multistart(spec: ProblemSpec, data: ProblemData, options: AlgOptions,
             for c in carry[:14])
         carry = sharded + carry[14:]
     import time as _time
+    # AOT-compile every phase that can run BEFORE starting the timer, so
+    # time_at_it measures execution only (fit()/fit_stepwise likewise keep
+    # trace+compile out of their per-iteration marks; on the axon backend
+    # compile can dwarf execution and would smear across every iteration).
+    runs = [(last_it, make_phase(active)) for last_it, active in phases]
+    for last_it, run in runs:
+        if last_it >= int(carry[-2]):
+            run.lower(*carry[:-2], carry[-2], last_it).compile()
     t0 = _time.perf_counter()
-    for last_it, active in phases:
+    for last_it, run in runs:
         if int(carry[-2]) > last_it or bool(jnp.all(carry[-5])):
             continue
-        run = make_phase(active)
         carry = run(*carry[:-2], carry[-2], last_it)
 
     (states_f, _, _, _, _, f4, frm, frm_h, hist, inner_h, lb_h, stopped,

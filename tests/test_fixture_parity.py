@@ -408,3 +408,110 @@ def test_script15_example_seeds_from_truedesign():
                             distr=cfg["distr"],
                             coupl_trafo=cfg["coupl_trafo"], rng=0,
                             delta_override={1: design[:5]})
+
+
+def test_matlab_replay_type2_type3_draw_order():
+    """Coupling types 2 and 3 are the only replay branches no example
+    script exercises (scripts cover 0/1/4/5), so pin their draw ORDER —
+    data gen (create_coupled_data.m:109-141) and init Delta/duals
+    (init_coupled_AOADMM_CMTF.m:148-157) — against an in-test loopy
+    transliteration of the MATLAB factories consuming an identical
+    twister stream.  The type-2 H is given a zero row so lsqminnorm's
+    min-norm solution has an all-zero column and the refill draw
+    (create_coupled_data.m:120-126) is on the replayed path too."""
+    from matlab_code_tpu.utils.matlab_rng import (
+        MatlabRNG, matlab_create_coupled_data, matlab_init_coupled)
+    from matlab_code_tpu import ProblemSpec, DatasetSpec, CouplingSpec
+
+    def norm_cols(M):
+        return M / np.linalg.norm(M, axis=0, keepdims=True)
+
+    g = np.random.default_rng(7)
+
+    def run_case(ctype, mode_sizes, rank, H_a, H_b, distr, noise):
+        spec = ProblemSpec(
+            mode_sizes=mode_sizes,
+            datasets=(DatasetSpec(model="CP", modes=(0, 1, 2), rank=rank,
+                                  weight=0.5),
+                      DatasetSpec(model="CP", modes=(3, 4), rank=rank,
+                                  weight=0.5)),
+            coupling=CouplingSpec(lin_coupled_modes=(1, 0, 0, 1, 0),
+                                  coupling_type=(ctype,)),
+            constraints=(None,) * 5)
+        trafo = [H_a, None, None, H_b, None]
+        lambdas = [[1.0] * rank, [1.0] * rank]
+        data, A, Delta, rng_out = matlab_create_coupled_data(
+            spec, distr, lambdas, noise=noise, normalize_columns=True,
+            seed=11, coupl_trafo=trafo)
+        state = matlab_init_coupled(spec, distr=["rand"] * 5,
+                                    coupl_trafo=trafo, rng=rng_out)
+
+        # --- independent transliteration on a fresh identical stream
+        r = MatlabRNG(11)
+        draw = (lambda d, m, n:
+                r.rand(m, n) if d == "rand" else r.randn(m, n))
+        exp_A = [None] * 5
+        for modes_p in ((0, 1, 2), (3, 4)):        # :55-75 uncoupled
+            for n in modes_p:
+                if n in (0, 3):
+                    continue
+                exp_A[n] = norm_cols(draw(distr[n], mode_sizes[n], rank))
+        refills = 0
+        if ctype == 2:                             # :109-127
+            exp_D = norm_cols(draw(distr[0], mode_sizes[0], H_a.shape[1]))
+            for j, H in ((0, H_a), (3, H_b)):
+                Aj = np.linalg.lstsq(H.T, exp_D.T, rcond=None)[0].T
+                zc = np.flatnonzero(np.abs(Aj).sum(axis=0) == 0)
+                if zc.size:
+                    Aj[:, zc] = norm_cols(
+                        draw(distr[j], mode_sizes[j], zc.size))
+                    refills += zc.size
+                exp_A[j] = Aj
+            assert refills >= 1        # the quirk path really ran
+        else:                                      # ctype == 3, :129-140
+            exp_D = norm_cols(draw(distr[0], H_a.shape[1], rank))
+            for j, H in ((0, H_a), (3, H_b)):
+                exp_A[j] = H @ exp_D
+        exp_X = []                                 # :152-183 data+noise
+        for p, modes_p in enumerate(((0, 1, 2), (3, 4))):
+            facs = [exp_A[n] for n in modes_p]
+            subs = "abcdef"[: len(facs)]
+            eq = ",".join(f"{s}r" for s in subs) + ",r->" + subs
+            M = np.einsum(eq, *facs, np.asarray(lambdas[p]))
+            N = r.randn(M.size).reshape(M.shape, order="F")
+            s = noise * np.linalg.norm(M) / np.linalg.norm(N)
+            exp_X.append(M + s * N)
+        # init (init:46-96 factors, :148-157 coupling Delta + duals)
+        exp_fac = [r.rand(mode_sizes[n], rank) for n in range(5)]
+        if ctype == 2:
+            exp_cfac = r.rand(mode_sizes[0], H_a.shape[1])
+            exp_dual = {m: r.rand(*exp_cfac.shape) for m in (0, 3)}
+        else:
+            exp_cfac = r.rand(H_a.shape[1], rank)
+            exp_dual = {m: r.rand(mode_sizes[m], rank) for m in (0, 3)}
+
+        for n in range(5):
+            np.testing.assert_array_equal(A[n], exp_A[n])
+            np.testing.assert_array_equal(np.asarray(state.fac[n]),
+                                          exp_fac[n])
+        np.testing.assert_array_equal(Delta[1], exp_D)
+        for p in range(2):
+            np.testing.assert_array_equal(np.asarray(data.objects[p]),
+                                          exp_X[p])
+        np.testing.assert_array_equal(np.asarray(state.coupling_fac[0]),
+                                      exp_cfac)
+        for m in (0, 3):
+            np.testing.assert_array_equal(
+                np.asarray(state.coupling_dual_fac[m]), exp_dual[m])
+        # streams fully consumed in lockstep
+        np.testing.assert_array_equal(rng_out.rand(4, 1), r.rand(4, 1))
+
+    H_a = g.standard_normal((3, 3)) + 2 * np.eye(3)
+    H_b = g.standard_normal((3, 3)) + 2 * np.eye(3)
+    H_b[1] = 0.0    # zero row -> all-zero lsqminnorm column -> refill
+    run_case(2, (10, 8, 9, 10, 7), 3, H_a, H_b,
+             ("rand", "randn", "rand", "rand", "randn"), 0.3)
+    H_a3 = g.standard_normal((12, 6))
+    H_b3 = g.standard_normal((12, 6))
+    run_case(3, (12, 8, 9, 12, 7), 2, H_a3, H_b3,
+             ("randn", "rand", "randn", "randn", "rand"), 0.2)

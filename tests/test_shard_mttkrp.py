@@ -219,8 +219,10 @@ def test_pipelined_ring_hlo_structure():
     that is not downstream of the permute, so the scheduler can overlap
     them (async start/done pairs on backends that split collectives; the
     CPU backend lowers permutes synchronously but the dataflow
-    independence is what the census checks)."""
-    import re
+    independence is what the census checks).  The audit itself lives in
+    parallel/hlo_census.ring_permute_census, shared with bench_scaling's
+    SCALING-artifact census so the two cannot drift apart."""
+    from matlab_code_tpu.parallel.hlo_census import ring_permute_census
     from matlab_code_tpu.parallel.shard_mttkrp import (
         make_sharded_mttkrp_pipelined)
     n = 8
@@ -230,20 +232,8 @@ def test_pipelined_ring_hlo_structure():
                  for s in (32, 24, 40))
     f = jax.jit(make_sharded_mttkrp_pipelined(mesh, DATA_AXIS, 3, 0, 1, n))
     txt = f.lower(X, facs).compile().as_text()
-    sync = len(re.findall(r"= [^=]*collective-permute\(", txt))
-    starts = len(re.findall(r"collective-permute-start\(", txt))
-    dones = len(re.findall(r"collective-permute-done\(", txt))
-    assert starts == dones
-    assert sync + starts == n - 1, (sync, starts, txt[:500])
-    assert len(re.findall(r"all-gather", txt)) >= 1
-    # overlap independence: permute results are consumed jointly with a
-    # dot (fusion(%ppermute, %dot) / add(%permute, %dot)), never BY a dot
-    consumers = re.findall(
-        r"= \S+ (?:fusion|add)\(([^)]*(?:collective-permute|ppermute)"
-        r"[^)]*)\)", txt)
-    assert consumers, txt[:800]
-    for args in consumers:
-        assert "dot" in args or "fusion" in args, args
+    res = ring_permute_census(txt, n)
+    assert res["ring_steps"] == n - 1
 
 
 def test_fit_with_pipelined_collectives_matches_plain():
