@@ -70,6 +70,13 @@ def fit_multistart(spec: ProblemSpec, data: ProblemData, options: AlgOptions,
     divisible by the mesh size.  Numbers are identical to the unsharded
     run (the start lanes never interact).
     """
+    if options.matmul_precision != "default":
+        import dataclasses as _dc
+        with jax.default_matmul_precision(options.matmul_precision):
+            return fit_multistart(
+                spec, data, _dc.replace(options, matmul_precision="default"),
+                init_options, n_starts, base_key=base_key,
+                delta_shapes=delta_shapes, keys=keys, mesh=mesh)
     if keys is not None:
         keys = list(keys)
         if len(keys) != n_starts:

@@ -630,6 +630,13 @@ def fit_stepwise(spec: ProblemSpec, data: ProblemData, state: SolverState,
     stopping evaluated on the host and true per-iteration wall times recorded
     (the reference's out.time_at_it, cmtf_fun_AOADMM.m:455).  ~1 dispatch
     (~1 ms on this chip) of overhead per iteration vs the fully fused fit()."""
+    if options.matmul_precision != "default":
+        import dataclasses as _dc
+        with jax.default_matmul_precision(options.matmul_precision):
+            return fit_stepwise(
+                spec, data, state,
+                _dc.replace(options, matmul_precision="default"),
+                validate=validate)
     if validate:
         check_data_input(spec, data)
         _warn_loss_data(spec, data)
@@ -752,6 +759,15 @@ def fit(spec: ProblemSpec, data: ProblemData, state: SolverState,
     XLA derive the partitioning from input shardings.  SparseTensor datasets
     go through the nnz-partitioned gather + psum path (the Pallas plan is a
     single-device layout, so plan attachment is skipped under a mesh)."""
+    if options.matmul_precision != "default":
+        # trace + run the whole fit under the requested matmul precision
+        # (jax folds the active precision config into the jit cache key,
+        # so different precisions compile distinct programs)
+        import dataclasses as _dc
+        with jax.default_matmul_precision(options.matmul_precision):
+            return fit(spec, data, state,
+                       _dc.replace(options, matmul_precision="default"),
+                       validate=validate, mesh=mesh)
     if validate:
         check_data_input(spec, data)
         _warn_loss_data(spec, data)

@@ -96,6 +96,20 @@ class AlgOptions:
     # f32-faithful (default), 2 ~ 1e-5 relative, 1 = fastest (~2e-3, the
     # raw single-pass MXU feed).  See ops/sparse_pallas.py.
     sparse_pallas_passes: int = 3
+    # Matmul/einsum precision for the WHOLE solver program (fit /
+    # fit_stepwise / fit_multistart trace under
+    # jax.default_matmul_precision(<value>) when != 'default').  TPU f32
+    # matmuls default to single bf16 passes; the resulting ~1e-3 relative
+    # error in the MTTKRPs/normal equations puts a FLOOR on the reachable
+    # objective — measured on the bench flagship (type-4, noise-free,
+    # v5e): the default-precision fit oscillates at f_tensors ~1.3e-2 for
+    # 12000 iterations while 'float32' (3-pass) converges to the 1e-4
+    # tolerance in 630 — so tight AbsFuncTol on TPU needs 'float32'
+    # despite the higher per-iteration cost (docs/ROOFLINE.md "Matmul
+    # precision vs convergence").  CPU/f64 runs are unaffected ('default'
+    # is already full precision there).  Choices: 'default' (backend
+    # default), 'bfloat16', 'tensorfloat32', 'float32', 'highest'.
+    matmul_precision: str = "default"
 
     def __post_init__(self):
         if self.par2_polar not in ("auto", "svd", "ns"):
@@ -113,6 +127,13 @@ class AlgOptions:
         if self.Display not in ("iter", "final", "no"):
             raise ValueError(f"Display must be 'iter'|'final'|'no', "
                              f"got {self.Display!r}")
+        if self.matmul_precision not in ("default", "bfloat16",
+                                         "tensorfloat32", "float32",
+                                         "highest"):
+            raise ValueError(
+                f"matmul_precision must be 'default'|'bfloat16'|"
+                f"'tensorfloat32'|'float32'|'highest', "
+                f"got {self.matmul_precision!r}")
     # NS iteration count: sigma_min grows ~1.5x/iter after Frobenius
     # normalization, so ~log1.5(sqrt(R)*cond)+4 iterations; 40 covers
     # cond ~ 3e6 at R=32.  Raise for extreme conditioning (or use 'svd').

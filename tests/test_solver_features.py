@@ -212,3 +212,50 @@ def test_zhat_cp_ktensor_unit_weights():
     zhat = assemble_zhat(spec, st)
     np.testing.assert_array_equal(zhat[0]["weights"], np.ones(3))
     assert len(zhat[0]["factors"]) == 3
+
+
+def test_matmul_precision_option():
+    """AlgOptions.matmul_precision traces the whole solver under
+    jax.default_matmul_precision.  On the CPU backend the precision
+    attribute does not change the kernels, so 'highest' must reproduce the
+    default run bitwise across fit/fit_stepwise — the test pins the
+    plumb-through (trace-context handling, options cache-key recursion),
+    not TPU numerics (measured on-chip: bf16-pass default stalls at
+    f_tensors ~1.3e-2 where 'float32' converges to 1e-4 in 630 iters, see
+    docs/ROOFLINE.md)."""
+    import dataclasses as dc
+    import pytest
+    from matlab_code_tpu import (ProblemSpec, DatasetSpec, CouplingSpec,
+                                 ConstraintSpec, AlgOptions, InitOptions)
+    from matlab_code_tpu.models.init import init_coupled
+    from matlab_code_tpu.models.solver import fit, fit_stepwise
+    from matlab_code_tpu.utils.datagen import create_coupled_data, \
+        normalize_data
+
+    spec = ProblemSpec(
+        mode_sizes=(12, 9, 10),
+        datasets=(DatasetSpec(model="CP", modes=(0, 1, 2), rank=2),),
+        coupling=CouplingSpec(lin_coupled_modes=(0, 0, 0), coupling_type=()),
+        constraints=(ConstraintSpec("non-negativity"), None, None))
+    data, _, _, _ = create_coupled_data(
+        spec, lambdas=[[1, 1]], noise=0.0, distr=["rand", "randn", "randn"],
+        rng=7)
+    data, _ = normalize_data(spec, data)
+    st = init_coupled(spec, data,
+                      InitOptions(distr=("rand", "randn", "randn"),
+                                  normalize=True, lambdas_init=((1, 1),)),
+                      key=1)
+    opts = AlgOptions(MaxOuterIters=40, AbsFuncTol=1e-12)
+    _, out_d = fit(spec, data, st, opts, validate=False)
+    _, out_h = fit(spec, data, st,
+                   dc.replace(opts, matmul_precision="highest"),
+                   validate=False)
+    np.testing.assert_array_equal(np.asarray(out_d.func_val_conv),
+                                  np.asarray(out_h.func_val_conv))
+    _, out_s = fit_stepwise(spec, data, st,
+                            dc.replace(opts, matmul_precision="float32"),
+                            validate=False)
+    np.testing.assert_array_equal(np.asarray(out_d.func_val_conv),
+                                  np.asarray(out_s.func_val_conv))
+    with pytest.raises(ValueError, match="matmul_precision"):
+        AlgOptions(matmul_precision="bf16")
