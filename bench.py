@@ -594,6 +594,11 @@ def main_measure(partial_path=None):
         _, out_fit = fit(spec, data, state, op_fit, validate=False)
         M["fit_wallclock_s"] = out_fit.time_total
         M["fit_wallclock_total_s"] = time.perf_counter() - t0  # + compile
+        # second (warm) run: the first post-compile dispatch carries
+        # host->device constant upload + tunnel sync overhead (measured
+        # 4.8 s vs 1.0 s warm for the same 630-iteration fit)
+        _, out_warm = fit(spec, data, state, op_fit, validate=False)
+        M["fit_wallclock_warm_s"] = out_warm.time_total
         M["fit_stop_iter"] = out_fit.OuterIterations
         # a dict exit flag = per-stream tolerance verdicts (converged)
         M["fit_exit"] = ("tolerance" if isinstance(out_fit.exit_flag, dict)
@@ -656,6 +661,7 @@ def summarize(M):
               f"pass default floors at ~1.3e-2 and never converges — one "
               f"fused dispatch; stopped at iter "
               f"{vals.get('fit_stop_iter')}, exit {vals.get('fit_exit')}; "
+              f"warm rerun {vals.get('fit_wallclock_warm_s', 0):.2f}s; "
               f"{vals.get('fit_wallclock_total_s', 0):.0f}s incl. compile)")
     if stale:
         print(f"# STALE segments (tunnel wedge — recorded 2026-08-20 "
