@@ -594,15 +594,20 @@ def main_measure(partial_path=None):
         _, out_fit = fit(spec, data, state, op_fit, validate=False)
         M["fit_wallclock_s"] = out_fit.time_total
         M["fit_wallclock_total_s"] = time.perf_counter() - t0  # + compile
-        # second (warm) run: the first post-compile dispatch carries
-        # host->device constant upload + tunnel sync overhead (measured
-        # 4.8 s vs 1.0 s warm for the same 630-iteration fit)
-        _, out_warm = fit(spec, data, state, op_fit, validate=False)
-        M["fit_wallclock_warm_s"] = out_warm.time_total
         M["fit_stop_iter"] = out_fit.OuterIterations
         # a dict exit flag = per-stream tolerance verdicts (converged)
         M["fit_exit"] = ("tolerance" if isinstance(out_fit.exit_flag, dict)
                          else str(out_fit.exit_flag))
+        _save_partial(partial_path, M)   # land the cold result BEFORE the
+        #                                  warm rerun — a tunnel wedge there
+        #                                  must not discard this segment
+        # second (warm) run: the first post-compile dispatch carries
+        # host->device constant upload + tunnel sync overhead (measured
+        # 4.8 s vs 1.0 s warm for the same 630-iteration fit).  Skipped
+        # when the cold run burned the full iteration budget anyway.
+        if M["fit_exit"] != "maxIterations":
+            _, out_warm = fit(spec, data, state, op_fit, validate=False)
+            M["fit_wallclock_warm_s"] = out_warm.time_total
         _save_partial(partial_path, M)
         print(f"# fit-to-convergence done "
               f"[{time.perf_counter() - t_start:.0f}s]", flush=True)

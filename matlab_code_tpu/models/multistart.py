@@ -24,7 +24,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from matlab_code_tpu.problem import ProblemSpec, ProblemData, has_missing
-from matlab_code_tpu.options import AlgOptions, InitOptions
+from matlab_code_tpu.options import (AlgOptions, InitOptions,
+                                     with_matmul_precision)
 from matlab_code_tpu.models.init import init_coupled
 from matlab_code_tpu.models.solver import (
     build_proxes, make_outer_step, init_cache, compute_znorm_consts,
@@ -49,6 +50,7 @@ def _stopping_v(f4_new, f4_old, options):
     return jax.vmap(one)(f4_new, f4_old)
 
 
+@with_matmul_precision
 def fit_multistart(spec: ProblemSpec, data: ProblemData, options: AlgOptions,
                    init_options: InitOptions, n_starts: int, base_key=0,
                    delta_shapes=None, keys=None, mesh=None):
@@ -70,13 +72,6 @@ def fit_multistart(spec: ProblemSpec, data: ProblemData, options: AlgOptions,
     divisible by the mesh size.  Numbers are identical to the unsharded
     run (the start lanes never interact).
     """
-    if options.matmul_precision != "default":
-        import dataclasses as _dc
-        with jax.default_matmul_precision(options.matmul_precision):
-            return fit_multistart(
-                spec, data, _dc.replace(options, matmul_precision="default"),
-                init_options, n_starts, base_key=base_key,
-                delta_shapes=delta_shapes, keys=keys, mesh=mesh)
     if keys is not None:
         keys = list(keys)
         if len(keys) != n_starts:

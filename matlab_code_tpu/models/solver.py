@@ -25,7 +25,7 @@ from jax import lax
 from matlab_code_tpu.problem import (
     ProblemSpec, ProblemData, CP, PAR2, check_data_input, has_missing)
 from matlab_code_tpu.state import SolverState, tuple_set
-from matlab_code_tpu.options import AlgOptions
+from matlab_code_tpu.options import AlgOptions, with_matmul_precision
 from matlab_code_tpu.ops import losses
 from matlab_code_tpu.ops.prox import make_prox
 from matlab_code_tpu.ops.tensor import gram, ktensor_full
@@ -624,19 +624,13 @@ def attach_sparse_plans(spec: ProblemSpec, data: ProblemData,
     return _dc_replace(data, objects=tuple(objs)) if changed else data
 
 
+@with_matmul_precision
 def fit_stepwise(spec: ProblemSpec, data: ProblemData, state: SolverState,
                  options: AlgOptions, validate: bool = True):
     """Host-stepped variant of fit(): one jitted outer sweep per call, with
     stopping evaluated on the host and true per-iteration wall times recorded
     (the reference's out.time_at_it, cmtf_fun_AOADMM.m:455).  ~1 dispatch
     (~1 ms on this chip) of overhead per iteration vs the fully fused fit()."""
-    if options.matmul_precision != "default":
-        import dataclasses as _dc
-        with jax.default_matmul_precision(options.matmul_precision):
-            return fit_stepwise(
-                spec, data, state,
-                _dc.replace(options, matmul_precision="default"),
-                validate=validate)
     if validate:
         check_data_input(spec, data)
         _warn_loss_data(spec, data)
@@ -749,6 +743,7 @@ def fit_stepwise(spec: ProblemSpec, data: ProblemData, state: SolverState,
     return state, out
 
 
+@with_matmul_precision
 def fit(spec: ProblemSpec, data: ProblemData, state: SolverState,
         options: AlgOptions, validate: bool = True, mesh=None):
     """Run AO-ADMM to convergence.  Returns (state, FitOutput).
@@ -759,15 +754,6 @@ def fit(spec: ProblemSpec, data: ProblemData, state: SolverState,
     XLA derive the partitioning from input shardings.  SparseTensor datasets
     go through the nnz-partitioned gather + psum path (the Pallas plan is a
     single-device layout, so plan attachment is skipped under a mesh)."""
-    if options.matmul_precision != "default":
-        # trace + run the whole fit under the requested matmul precision
-        # (jax folds the active precision config into the jit cache key,
-        # so different precisions compile distinct programs)
-        import dataclasses as _dc
-        with jax.default_matmul_precision(options.matmul_precision):
-            return fit(spec, data, state,
-                       _dc.replace(options, matmul_precision="default"),
-                       validate=validate, mesh=mesh)
     if validate:
         check_data_input(spec, data)
         _warn_loss_data(spec, data)

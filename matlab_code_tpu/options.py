@@ -3,7 +3,36 @@
 one compiled program per options value."""
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+import functools
+from dataclasses import dataclass, field, replace
+
+
+def with_matmul_precision(fn):
+    """Decorator for solver entry points taking an AlgOptions argument:
+    when options.matmul_precision != 'default', re-invoke fn under
+    `jax.default_matmul_precision(<value>)` with the option stripped back
+    to 'default' (so the recursion terminates).  jax folds the active
+    precision config into the jit trace context, so each precision
+    compiles (and caches) its own program even through shared jit
+    wrappers.  One implementation for fit / fit_stepwise / fit_multistart
+    — the AlgOptions argument is located by type, so the entry points'
+    differing signatures need no per-copy argument forwarding."""
+    @functools.wraps(fn)
+    def wrapper(*args, **kw):
+        idx = next((i for i, a in enumerate(args)
+                    if isinstance(a, AlgOptions)), None)
+        opt = args[idx] if idx is not None else kw.get("options")
+        if opt is None or opt.matmul_precision == "default":
+            return fn(*args, **kw)
+        inner = replace(opt, matmul_precision="default")
+        if idx is not None:
+            args = args[:idx] + (inner,) + args[idx + 1:]
+        else:
+            kw = {**kw, "options": inner}
+        import jax
+        with jax.default_matmul_precision(opt.matmul_precision):
+            return fn(*args, **kw)
+    return wrapper
 
 
 @dataclass(frozen=True)

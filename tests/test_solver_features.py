@@ -257,5 +257,18 @@ def test_matmul_precision_option():
                             validate=False)
     np.testing.assert_array_equal(np.asarray(out_d.func_val_conv),
                                   np.asarray(out_s.func_val_conv))
+    # fit_multistart: the decorator must locate AlgOptions in third
+    # position and forward the remaining signature untouched
+    from matlab_code_tpu.models.multistart import fit_multistart
+    io = InitOptions(distr=("rand", "randn", "randn"), normalize=True,
+                     lambdas_init=((1, 1),))
+    _, mo_d, f_d, _ = fit_multistart(spec, data, opts, io, n_starts=2,
+                                     keys=[1, 2])
+    _, mo_h, f_h, _ = fit_multistart(
+        spec, data, dc.replace(opts, matmul_precision="highest"), io,
+        n_starts=2, keys=[1, 2])
+    np.testing.assert_array_equal(np.asarray(f_d), np.asarray(f_h))
+    np.testing.assert_array_equal(np.asarray(mo_d.func_val_conv),
+                                  np.asarray(mo_h.func_val_conv))
     with pytest.raises(ValueError, match="matmul_precision"):
         AlgOptions(matmul_precision="bf16")
