@@ -4,10 +4,15 @@ plus vmapped multi-start throughput (whole fits in parallel on one chip).
 Supplementary to bench.py (the driver's headline metric); prints one JSON
 line per experiment.
 """
+import functools
 import json
 import time
 
 import numpy as np
+
+# line-buffered progress: a watchdog kill must not lose the segments that
+# already finished (block-buffered pipes drop everything on SIGTERM)
+print = functools.partial(print, flush=True)
 import jax
 import jax.numpy as jnp
 
